@@ -1,0 +1,43 @@
+"""Benchmark adapters: HF rows → canonical blind :class:`~tst.data.schema.Sample`.
+
+The framework is applied "to four benchmarks—VSI-Bench, CV-Bench, MMMU, and
+VideoMME" (reference README.md:35). Each adapter exposes:
+
+  * ``rows_to_samples(rows)``  — pure row conversion (offline-unit-testable)
+  * ``load(source, split)``    — HF hub id / local dataset dir / jsonl file
+
+All adapters strip visual payloads and keep only text, per the blind-input
+requirement (reference README.md:35).
+"""
+
+from tst.data.adapters import cv_bench, mmmu, video_mme, vsi_bench  # noqa: F401
+
+ADAPTERS = {
+    "vsi_bench": vsi_bench,
+    "cv_bench": cv_bench,
+    "mmmu": mmmu,
+    "video_mme": video_mme,
+}
+
+
+def load_benchmark(name: str, source=None, split=None, **kw):
+    """Uniform entry: ``load_benchmark("cv_bench", "/data/cv_bench")``.
+
+    ``name`` may also be ``synthetic[:spec]`` for offline smoke runs.
+    """
+    if name.startswith("synthetic"):
+        from tst.data.synthetic import make_synthetic_mcq
+
+        bias = 0.0
+        if ":" in name:
+            bias = float(name.split(":", 1)[1])
+        return make_synthetic_mcq(n=kw.pop("n", 256), bias_fraction=bias, **kw)
+    if name.endswith(".jsonl"):
+        from tst.data.schema import BlindDataset
+
+        return BlindDataset.load_jsonl(name)
+    if name not in ADAPTERS:
+        raise KeyError(f"unknown benchmark {name!r}; have {sorted(ADAPTERS)}")
+    mod = ADAPTERS[name]
+    args = {} if split is None else {"split": split}
+    return mod.load(source, **args, **kw) if source else mod.load(**args, **kw)

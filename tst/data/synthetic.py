@@ -1,0 +1,122 @@
+"""Synthetic benchmarks with *planted* non-visual shortcuts.
+
+The reference's central claim is that benchmarks can be "aced ... without
+strong visual understanding" because of "exploitable non-visual shortcuts"
+(reference README.md:33). To test that our diagnostic actually detects such
+shortcuts (not merely that the plumbing runs), we generate benchmarks where a
+known fraction of samples carries a controllable bias, e.g. the gold answer is
+always the longest option. The integration contract (SURVEY.md §4.4):
+
+  * on a planted-bias benchmark, blind k-fold accuracy must rise well above
+    chance and s(x) must rank biased samples first;
+  * on the unbiased control, blind accuracy must stay near chance;
+  * IBP must prune the planted-bias samples before the clean ones.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from tst.data.schema import MCQ, NUMERIC, BlindDataset, OPTION_LETTERS, Sample
+
+_NOUNS = [
+    "chair", "table", "sofa", "lamp", "window", "door", "shelf", "rug",
+    "plant", "monitor", "cabinet", "stool", "mirror", "curtain", "bin",
+]
+_ADJS = ["red", "blue", "large", "small", "wooden", "metal", "round", "square"]
+_CATEGORIES = ["object_count", "relative_distance", "room_size", "route_plan"]
+
+
+def _rand_phrase(rng: np.random.Generator, n_words: int) -> str:
+    words = []
+    for _ in range(n_words):
+        pool = _ADJS if rng.random() < 0.4 else _NOUNS
+        words.append(pool[int(rng.integers(len(pool)))])
+    return " ".join(words)
+
+
+def make_synthetic_mcq(
+    n: int = 256,
+    n_options: int = 4,
+    bias_fraction: float = 0.0,
+    bias_kind: str = "longest_option",
+    seed: int = 0,
+    name: Optional[str] = None,
+) -> BlindDataset:
+    """Generate an MCQ benchmark with a planted shortcut on a known subset.
+
+    ``bias_kind``:
+      * ``longest_option`` — on biased samples the gold option is padded to be
+        clearly the longest (a classic length prior).
+      * ``position`` — the gold answer of biased samples is always letter "A"
+        (answer-position prior; unbiased samples get a uniform position).
+      * ``keyword`` — biased samples embed a tell-tale token from the gold
+        option inside the question (option-overlap shortcut).
+
+    Sample ``meta["planted_bias"]`` records ground truth for tests.
+    """
+    rng = np.random.default_rng(seed)
+    n_biased = int(round(n * bias_fraction))
+    samples: List[Sample] = []
+    for i in range(n):
+        biased = i < n_biased
+        category = _CATEGORIES[int(rng.integers(len(_CATEGORIES)))]
+        question = (
+            f"How would you describe the {_rand_phrase(rng, 2)} near the "
+            f"{_rand_phrase(rng, 1)} in the scene?"
+        )
+        options = [_rand_phrase(rng, int(rng.integers(2, 5))) for _ in range(n_options)]
+        if biased and bias_kind == "position":
+            gold = 0
+        else:
+            gold = int(rng.integers(n_options))
+        if biased:
+            if bias_kind == "longest_option":
+                options[gold] = options[gold] + " " + _rand_phrase(rng, 6)
+            elif bias_kind == "keyword":
+                tell = options[gold].split()[0]
+                question = question[:-1] + f" regarding the {tell}?"
+            elif bias_kind == "position":
+                pass
+            else:
+                raise ValueError(f"unknown bias_kind {bias_kind!r}")
+        samples.append(
+            Sample(
+                id=f"syn-{seed}-{i:05d}",
+                question=question,
+                options=options,
+                answer=OPTION_LETTERS[gold],
+                answer_type=MCQ,
+                category=category,
+                meta={"planted_bias": bool(biased), "bias_kind": bias_kind if biased else None},
+            )
+        )
+    # Shuffle so biased samples are not a contiguous prefix (fold splits and
+    # prune tests must not be able to cheat on index order).
+    order = rng.permutation(n)
+    samples = [samples[j] for j in order]
+    return BlindDataset(name or f"synthetic_mcq_b{bias_fraction:g}_{bias_kind}", samples)
+
+
+def make_synthetic_numeric(n: int = 128, seed: int = 0) -> BlindDataset:
+    """Numeric-answer benchmark (exercises the VSI-Bench numeric/MRA path)."""
+    rng = np.random.default_rng(seed)
+    samples = []
+    for i in range(n):
+        value = float(np.round(rng.uniform(0.5, 30.0), 1))
+        samples.append(
+            Sample(
+                id=f"syn-num-{seed}-{i:05d}",
+                question=(
+                    f"What is the size in square meters of the room containing "
+                    f"the {_rand_phrase(rng, 2)}?"
+                ),
+                options=[],
+                answer=f"{value:g}",
+                answer_type=NUMERIC,
+                category="room_size_estimation",
+            )
+        )
+    return BlindDataset("synthetic_numeric", samples)

@@ -1,0 +1,247 @@
+"""Tokenization + fixed-shape packing of blind prompts for TPU.
+
+TPU/XLA programs are compiled per shape, so variable-length text must become
+statically-shaped int32 arrays (SURVEY.md §7 hard part 5: avoid recompilation
+storms via padding buckets). This module turns rendered (prompt, target) pairs
+into:
+
+  * ``tokens``     int32 [N, L]  right-padded token ids
+  * ``loss_mask``  f32   [N, L]  1.0 on target-token positions (prompt-masked
+                                  labels — loss on answer tokens only)
+  * ``answer_pos`` int32 [N]     index of the last prompt token; logits at this
+                                  position predict the first target token, which
+                                  is how MCQ options are scored in ONE forward
+                                  pass per sample (SURVEY.md §3.1 hot loop 2)
+  * ``gold``       int32 [N]     gold option index (MCQ) or -1
+
+Two tokenizer backends:
+  * :class:`ByteTokenizer` — dependency-free byte-level fallback; keeps every
+    test and the whole pipeline runnable offline (no HF assets in this env).
+  * :class:`HFTokenizer` — wraps a local ``transformers`` tokenizer for real
+    Llama-3 / Qwen2.5 runs (models named by BASELINE.json configs).
+
+Both expose ``option_token_ids``: the id of the single token that begins each
+option's target text. For HF BPE tokenizers that token is " A"/" B"/...; for
+the byte backend the leading space is folded into the prompt instead so the
+letter byte itself is the first target token. This invariant is what makes
+per-option log-probability scoring a single gather from one forward pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tst.data import blind
+from tst.data.schema import MCQ, OPTION_LETTERS, BlindDataset
+
+#: Sequence-length buckets (multiples of 128 for TPU lane alignment). A batch
+#: is padded to the smallest bucket >= its longest sequence; the set is small
+#: so at most len(BUCKETS) distinct XLA programs are ever compiled per model.
+DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def pick_bucket(max_len: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if max_len <= b:
+            return b
+    raise ValueError(f"sequence length {max_len} exceeds largest bucket {buckets[-1]}")
+
+
+class ByteTokenizer:
+    """Byte-level tokenizer: ids 0..255 are raw bytes; specials above.
+
+    Vocab is padded to 384 (3*128) so embedding tables tile cleanly onto the
+    TPU lane dimension.
+    """
+
+    pad_id = 256
+    bos_id = 257
+    eos_id = 258
+    vocab_size = 384
+    name = "byte"
+    #: the byte tokenizer emits the leading space of a target as prompt tail,
+    #: so the first *target* token is the letter itself.
+    _target_space_in_prompt = True
+
+    def encode(self, text: str) -> List[int]:
+        return list(text.encode("utf-8", errors="replace"))
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return bytes(i for i in ids if 0 <= i < 256).decode("utf-8", errors="replace")
+
+    def encode_example(self, prompt: str, target: str) -> Tuple[List[int], List[int]]:
+        if self._target_space_in_prompt and target.startswith(" "):
+            prompt = prompt + " "
+            target = target[1:]
+        p = [self.bos_id] + self.encode(prompt)
+        t = self.encode(target) + [self.eos_id]
+        return p, t
+
+    def option_token_ids(self, n_options: int) -> np.ndarray:
+        return np.array(
+            [self.encode(OPTION_LETTERS[i])[0] for i in range(n_options)], dtype=np.int32
+        )
+
+
+class HFTokenizer:
+    """Adapter over a local HuggingFace tokenizer (Llama-3 / Qwen2.5)."""
+
+    name = "hf"
+
+    def __init__(self, path_or_tokenizer):
+        if isinstance(path_or_tokenizer, str):
+            from transformers import AutoTokenizer
+
+            self.tok = AutoTokenizer.from_pretrained(path_or_tokenizer, local_files_only=True)
+        else:
+            self.tok = path_or_tokenizer
+        self.pad_id = self.tok.pad_token_id
+        if self.pad_id is None:
+            self.pad_id = self.tok.eos_token_id
+        self.bos_id = self.tok.bos_token_id
+        self.eos_id = self.tok.eos_token_id
+        self.vocab_size = len(self.tok)
+        # Verify the single-token invariant for " A".." J".
+        for letter in OPTION_LETTERS:
+            ids = self.tok.encode(" " + letter, add_special_tokens=False)
+            if len(ids) != 1:
+                raise ValueError(
+                    f"tokenizer does not encode ' {letter}' as one token; "
+                    "MCQ single-forward scoring needs that invariant"
+                )
+
+    def encode(self, text: str) -> List[int]:
+        return self.tok.encode(text, add_special_tokens=False)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self.tok.decode(list(ids))
+
+    def encode_example(self, prompt: str, target: str) -> Tuple[List[int], List[int]]:
+        p = self.tok.encode(prompt, add_special_tokens=False)
+        if self.bos_id is not None:
+            p = [self.bos_id] + p
+        t = self.tok.encode(target, add_special_tokens=False)
+        if self.eos_id is not None:
+            t = t + [self.eos_id]
+        return p, t
+
+    def option_token_ids(self, n_options: int) -> np.ndarray:
+        return np.array(
+            [
+                self.tok.encode(" " + OPTION_LETTERS[i], add_special_tokens=False)[0]
+                for i in range(n_options)
+            ],
+            dtype=np.int32,
+        )
+
+
+@dataclasses.dataclass
+class TokenBatch:
+    """Device-ready arrays for a whole dataset (or fold slice)."""
+
+    tokens: np.ndarray  # int32 [N, L]
+    loss_mask: np.ndarray  # float32 [N, L]
+    answer_pos: np.ndarray  # int32 [N]
+    lengths: np.ndarray  # int32 [N] true sequence lengths
+    gold: np.ndarray  # int32 [N] gold option index, -1 for non-MCQ
+    n_options: np.ndarray  # int32 [N] number of options, 0 for non-MCQ
+    option_token_ids: np.ndarray  # int32 [max_options]
+    pad_id: int
+
+    @property
+    def n(self) -> int:
+        return self.tokens.shape[0]
+
+    @property
+    def seq_len(self) -> int:
+        return self.tokens.shape[1]
+
+
+def tokenize_dataset(
+    ds: BlindDataset,
+    tokenizer,
+    max_len: Optional[int] = None,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    include_context: bool = True,
+) -> TokenBatch:
+    """Tokenize + right-pad a dataset into one fixed-shape :class:`TokenBatch`.
+
+    Sequences longer than the cap are *head-truncated on the prompt's context*
+    (the question/options tail is always kept — it carries the shortcut signal
+    the diagnostic is hunting for).
+    """
+    prompt_ids: List[List[int]] = []
+    target_ids: List[List[int]] = []
+    for s in ds:
+        p, t = blind.render_example(s, include_context)
+        pi, ti = tokenizer.encode_example(p, t)
+        prompt_ids.append(pi)
+        target_ids.append(ti)
+
+    lengths = np.array([len(p) + len(t) for p, t in zip(prompt_ids, target_ids)])
+    cap = max_len or pick_bucket(int(lengths.max()), buckets)
+    L = pick_bucket(min(int(lengths.max()), cap), buckets) if max_len is None else max_len
+
+    n = len(ds)
+    max_opts = max((len(s.options) for s in ds), default=0)
+    tokens = np.full((n, L), tokenizer.pad_id, dtype=np.int32)
+    loss_mask = np.zeros((n, L), dtype=np.float32)
+    answer_pos = np.zeros(n, dtype=np.int32)
+    true_len = np.zeros(n, dtype=np.int32)
+    gold = np.full(n, -1, dtype=np.int32)
+    n_opts = np.zeros(n, dtype=np.int32)
+
+    for i, (s, p, t) in enumerate(zip(ds, prompt_ids, target_ids)):
+        if len(p) + len(t) > L:
+            # Head-truncate the prompt, keep its tail (question+options+marker).
+            keep = L - len(t)
+            if keep < 8:
+                raise ValueError(f"sample {s.id}: target alone nearly fills bucket {L}")
+            p = [p[0]] + p[len(p) - keep + 1 :]
+        seq = p + t
+        tokens[i, : len(seq)] = seq
+        loss_mask[i, len(p) : len(seq)] = 1.0
+        answer_pos[i] = len(p) - 1
+        true_len[i] = len(seq)
+        if s.answer_type == MCQ:
+            gold[i] = s.answer_index
+            n_opts[i] = len(s.options)
+
+    return TokenBatch(
+        tokens=tokens,
+        loss_mask=loss_mask,
+        answer_pos=answer_pos,
+        lengths=true_len,
+        gold=gold,
+        n_options=n_opts,
+        option_token_ids=tokenizer.option_token_ids(max_opts) if max_opts else np.zeros(0, np.int32),
+        pad_id=tokenizer.pad_id,
+    )
+
+
+def pad_batch_n(tb: TokenBatch, multiple: int) -> Tuple[TokenBatch, np.ndarray]:
+    """Pad the sample axis up to a multiple (for even sharding over the mesh).
+
+    Returns (padded batch, validity mask [N_padded] with 1.0 on real rows).
+    Pad rows duplicate row 0 but carry gold=-1 so they never count in metrics.
+    """
+    n = tb.n
+    n_pad = (-n) % multiple
+    if n_pad == 0:
+        return tb, np.ones(n, dtype=np.float32)
+    rep = lambda a: np.concatenate([a, np.repeat(a[:1], n_pad, axis=0)], axis=0)
+    padded = TokenBatch(
+        tokens=rep(tb.tokens),
+        loss_mask=np.concatenate([tb.loss_mask, np.zeros((n_pad, tb.seq_len), np.float32)]),
+        answer_pos=rep(tb.answer_pos),
+        lengths=rep(tb.lengths),
+        gold=np.concatenate([tb.gold, np.full(n_pad, -1, np.int32)]),
+        n_options=rep(tb.n_options),
+        option_token_ids=tb.option_token_ids,
+        pad_id=tb.pad_id,
+    )
+    valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+    return padded, valid
