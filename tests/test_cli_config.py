@@ -1,0 +1,81 @@
+"""Config resolution + CLI plumbing tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tst import config as config_mod
+from tst.cli import main
+from tst.config import RunConfig
+
+
+class TestConfig:
+    def test_defaults_roundtrip(self):
+        cfg = RunConfig()
+        cfg2 = RunConfig.from_json(cfg.to_json())
+        assert cfg2.to_json() == cfg.to_json()
+
+    def test_preset(self):
+        cfg = config_mod.resolve(preset="sft-mmmu-llama8b")
+        assert cfg.model.name == "llama3-8b"
+        assert cfg.mesh.tensor == 4
+        assert cfg.data.bench == "mmmu"
+
+    def test_unknown_preset(self):
+        with pytest.raises(KeyError):
+            config_mod.resolve(preset="nope")
+
+    def test_overrides(self):
+        cfg = RunConfig().override(["optim.lr=0.01", "data.k=7", "model.name=x",
+                                    'lora.targets=["q_proj"]'])
+        assert cfg.optim.lr == 0.01 and cfg.data.k == 7
+        assert cfg.lora.targets == ("q_proj",)
+
+    def test_bad_override_key(self):
+        with pytest.raises(AttributeError):
+            RunConfig().override(["nope.key=1"])
+
+    def test_unknown_json_field_rejected(self):
+        with pytest.raises(AttributeError):
+            RunConfig.from_json({"data": {"bogus": 1}})
+
+    def test_save_load(self, tmp_path):
+        p = str(tmp_path / "c.json")
+        cfg = RunConfig()
+        cfg.optim.lr = 0.123
+        cfg.save(p)
+        assert RunConfig.load(p).optim.lr == 0.123
+
+
+class TestCLI:
+    def test_diagnose_rf_end_to_end(self, tmp_path, capsys):
+        out = str(tmp_path / "run")
+        rc = main([
+            "diagnose-rf", "--bench", "synthetic:1.0", "--k", "3",
+            "--set", "data.n=120", "--set", "rf.n_estimators=30", "--out", out,
+        ])
+        assert rc == 0
+        report = json.loads((capsys.readouterr()).out)
+        assert report["blind_accuracy"] > report["chance_accuracy"] + 0.2
+        for f in ("sx.jsonl", "report.json", "config.json", "dataset.jsonl"):
+            assert os.path.exists(os.path.join(out, f)), f
+        with open(os.path.join(out, "sx.jsonl")) as fh:
+            rows = [json.loads(l) for l in fh]
+        assert len(rows) == 120
+        assert all(0.0 <= r["s_x"] <= 1.0 for r in rows)
+
+    def test_export_prune(self, tmp_path, capsys):
+        out = str(tmp_path / "run")
+        main(["diagnose-rf", "--bench", "synthetic:0.5", "--k", "3",
+              "--set", "data.n=80", "--set", "rf.n_estimators=20", "--out", out])
+        capsys.readouterr()
+        rc = main(["export", out, "--prune-fraction", "0.25"])
+        assert rc == 0
+        from tst.data.schema import BlindDataset
+        kept = BlindDataset.load_jsonl(os.path.join(out, "debiased.jsonl"))
+        removed = BlindDataset.load_jsonl(os.path.join(out, "removed.jsonl"))
+        assert len(kept) == 60 and len(removed) == 20
+        # pruned samples should be mostly the planted-bias ones
+        assert np.mean([s.meta["planted_bias"] for s in removed]) > 0.6

@@ -1,0 +1,177 @@
+"""``tst`` command-line interface (SURVEY.md §2b B19, layer L8).
+
+Subcommands (the runnable pipeline implied by "Applying this framework to
+four benchmarks", reference README.md:35):
+
+  * ``diagnose-rf``  — lightweight Random-Forest shortcut audit
+  * ``diagnose-sft`` — k-fold blind LoRA SFT diagnostic (the core method)
+  * ``debias-ibp``   — Iterative Bias Pruning → debiased split
+  * ``eval-blind``   — zero-shot blind evaluation (vision-blind-gap leg)
+  * ``export``       — re-emit artifacts from a previous run directory
+
+Run as ``python -m tst <subcommand> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import List, Optional
+
+from tst import config as config_mod
+from tst.config import RunConfig
+
+
+def _common_flags(p: argparse.ArgumentParser, default_platform: str = "auto") -> None:
+    p.add_argument("--platform", default=default_platform, choices=["auto", "cpu", "tpu"],
+                   help="JAX backend (diagnose-rf defaults to cpu per its CPU-parity config)")
+    p.add_argument("--preset", default=None, help=f"one of {sorted(config_mod.PRESETS)}")
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE", help="dotted config override, repeatable")
+    p.add_argument("--bench", default=None, help="benchmark name (shorthand for data.bench)")
+    p.add_argument("--source", default=None, help="local dataset dir/jsonl (shorthand)")
+    p.add_argument("--k", type=int, default=None, help="number of folds (shorthand)")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--out", default=None, help="output directory (shorthand for out_dir)")
+
+
+def _resolve(args) -> RunConfig:
+    from tst.runtime.platform import select_platform
+
+    select_platform(getattr(args, "platform", None))
+    cfg = config_mod.resolve(args.preset, args.config, args.overrides)
+    if args.bench is not None:
+        cfg.data.bench = args.bench
+    if args.source is not None:
+        cfg.data.source = args.source
+    if args.k is not None:
+        cfg.data.k = args.k
+    if args.seed is not None:
+        cfg.data.seed = args.seed
+    if args.out is not None:
+        cfg.out_dir = args.out
+    return cfg
+
+
+def _load_dataset(cfg: RunConfig):
+    from tst.data.adapters import load_benchmark
+
+    return load_benchmark(
+        cfg.data.bench, source=cfg.data.source, split=cfg.data.split,
+        **({"n": cfg.data.n, "seed": cfg.data.seed} if cfg.data.bench.startswith("synthetic") else {}),
+    )
+
+
+def cmd_diagnose_rf(args) -> int:
+    from tst.diagnose.rf import run_rf_diagnostic
+    from tst.io import outputs
+
+    cfg = _resolve(args)
+    ds = _load_dataset(cfg)
+    t0 = time.time()
+    d = run_rf_diagnostic(
+        ds, k=cfg.data.k, seed=cfg.data.seed,
+        n_estimators=cfg.rf.n_estimators, max_depth=cfg.rf.max_depth,
+        backend=cfg.rf.backend, score_rule=cfg.rf.score_rule,
+    )
+    report = d.report()
+    report["wall_seconds"] = round(time.time() - t0, 2)
+    report["n_samples"] = len(ds)
+    outputs.write_sx_table(cfg.out_dir, ds, d.s_x, d.fold_id, pred=d.pred)
+    outputs.write_report(cfg.out_dir, report)
+    ds.save_jsonl(f"{cfg.out_dir}/dataset.jsonl")
+    cfg.save(f"{cfg.out_dir}/config.json")
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
+def cmd_diagnose_sft(args) -> int:
+    from tst.train.pipeline import run_sft_diagnostic
+
+    cfg = _resolve(args)
+    ds = _load_dataset(cfg)
+    report = run_sft_diagnostic(ds, cfg)
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
+def cmd_debias_ibp(args) -> int:
+    from tst.debias.ibp import run_ibp
+
+    cfg = _resolve(args)
+    ds = _load_dataset(cfg)
+    report = run_ibp(ds, cfg)
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
+def cmd_eval_blind(args) -> int:
+    from tst.train.pipeline import run_blind_eval
+
+    cfg = _resolve(args)
+    ds = _load_dataset(cfg)
+    report = run_blind_eval(ds, cfg)
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Re-emit artifacts (sx table / debiased split) from a run directory."""
+    import numpy as np
+
+    from tst.data.schema import BlindDataset
+    from tst.io import outputs
+
+    run_dir = args.run_dir
+    ds = BlindDataset.load_jsonl(f"{run_dir}/dataset.jsonl")
+    sx, fold = [], []
+    with open(f"{run_dir}/sx.jsonl") as f:
+        for line in f:
+            row = json.loads(line)
+            sx.append(row["s_x"] if row["s_x"] is not None else float("nan"))
+            fold.append(row["fold"])
+    sx = np.asarray(sx, dtype=np.float32)
+    out = args.out or run_dir
+    if args.prune_fraction:
+        order = np.argsort(-np.where(np.isnan(sx), -np.inf, sx), kind="stable")
+        n_prune = int(round(args.prune_fraction * len(ds)))
+        keep = np.ones(len(ds), bool)
+        keep[order[:n_prune]] = False
+        outputs.write_debiased_split(out, ds, keep,
+                                     audit={"pruned": int(n_prune), "rule": "top-s_x"})
+    outputs.write_sx_table(out, ds, sx, np.asarray(fold))
+    print(json.dumps({"exported_to": out, "n": len(ds)}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tst", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn, plat in [
+        ("diagnose-rf", cmd_diagnose_rf, "cpu"),
+        ("diagnose-sft", cmd_diagnose_sft, "auto"),
+        ("debias-ibp", cmd_debias_ibp, "auto"),
+        ("eval-blind", cmd_eval_blind, "auto"),
+    ]:
+        sp = sub.add_parser(name)
+        _common_flags(sp, default_platform=plat)
+        sp.set_defaults(fn=fn)
+    sp = sub.add_parser("export")
+    sp.add_argument("run_dir")
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--prune-fraction", type=float, default=None)
+    sp.set_defaults(fn=cmd_export)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
