@@ -1,0 +1,134 @@
+"""Multi-device mesh/GSPMD tests on 8 fake CPU devices (SURVEY.md §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tst.data.folds import kfold_assign
+from tst.data.synthetic import make_synthetic_mcq
+from tst.data.tokenize import ByteTokenizer, tokenize_dataset
+from tst.models.decoder import apply_model, init_params, spec_by_name
+from tst.models.lora import LoraSpec
+from tst.runtime import mesh as mesh_mod
+from tst.train.infer import score_heldout_mcq
+from tst.train.sft import FoldTrainer, make_fold_batches
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (fake) devices"
+)
+
+
+class TestMeshConstruction:
+    def test_axes(self):
+        mesh = mesh_mod.make_mesh(fold=2, data=2, tensor=2)
+        assert mesh.axis_names == ("fold", "data", "tensor")
+        assert mesh.devices.shape == (2, 2, 2)
+
+    def test_too_many(self):
+        with pytest.raises(ValueError):
+            mesh_mod.make_mesh(fold=4, data=4, tensor=4)
+
+    def test_param_pspecs(self):
+        assert mesh_mod.base_param_pspec("embed") == P("tensor", "data")
+        assert mesh_mod.base_param_pspec("layers.wq") == P(None, "data", "tensor")
+        assert mesh_mod.base_param_pspec("layers.wo") == P(None, "tensor", "data")
+        assert mesh_mod.base_param_pspec("final_norm") == P(None)
+
+    def test_lora_pspecs(self):
+        assert mesh_mod.lora_param_pspec("a") == P("fold", None, None, None)
+        assert mesh_mod.lora_param_pspec("b") == P("fold", None, "tensor", None)
+
+    def test_shard_tree_places_params(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        mesh = mesh_mod.make_mesh(fold=1, data=2, tensor=2)
+        params = init_params(jax.random.key(0), spec)
+        sharded = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
+        wq = sharded["layers"]["wq"]
+        assert isinstance(wq.sharding, NamedSharding)
+        assert wq.sharding.spec == P(None, "data", "tensor")
+        # sharded forward == unsharded forward
+        tokens = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+        np.testing.assert_allclose(
+            np.asarray(apply_model(params, tokens, spec)),
+            np.asarray(apply_model(sharded, tokens, spec)),
+            atol=2e-4,
+        )
+
+
+class TestShardedTraining:
+    """The same fold-parallel program must produce (near-)identical numerics
+    on a 1-device setup and an 8-device (fold×data×tensor) mesh."""
+
+    def _train(self, mesh, k=2, steps=6):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=4, alpha=8.0, dtype=jnp.float32)
+        ds = make_synthetic_mcq(n=48, bias_fraction=1.0, bias_kind="position", seed=0)
+        tb = tokenize_dataset(ds, ByteTokenizer(), max_len=512)
+        fid = kfold_assign(ds, k, seed=0)
+        batches = make_fold_batches(fid, k, batch_size=4, epochs=2, seed=0)[:steps]
+        params = init_params(jax.random.key(0), spec)
+        if mesh is not None:
+            params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+        trainer = FoldTrainer(spec, lspec, k=k, lr=1e-3, total_steps=steps,
+                              mesh=mesh, t_max=t_max)
+        lora, opt = trainer.init_state(jax.random.key(1))
+        kw = {}
+        if mesh is not None:
+            kw["device"] = mesh_mod.replicated(mesh)
+        tokens = jax.device_put(jnp.asarray(tb.tokens), **kw)
+        mask = jax.device_put(jnp.asarray(tb.loss_mask), **kw)
+        pos = jax.device_put(jnp.asarray(tb.answer_pos), **kw)
+        lora, opt, log = trainer.fit(params, lora, opt, tokens, mask, batches,
+                                     all_pos=pos, log_every=2)
+        probs = score_heldout_mcq(params, lora, spec, lspec, tokens, pos,
+                                  tb.option_token_ids, tb.n_options, fid, k, batch=8)
+        return log, probs
+
+    def test_sharded_matches_single_device(self):
+        log_1, probs_1 = self._train(mesh=None)
+        mesh = mesh_mod.make_mesh(fold=2, data=2, tensor=2)
+        log_8, probs_8 = self._train(mesh=mesh)
+        np.testing.assert_allclose(log_1.losses, log_8.losses, rtol=2e-3)
+        np.testing.assert_allclose(probs_1, probs_8, atol=2e-3)
+
+    def test_fold_parallel_matches_fold_sequential(self):
+        """vmapped fold axis == training each fold as its own program."""
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=4, alpha=8.0, dtype=jnp.float32)
+        ds = make_synthetic_mcq(n=32, bias_fraction=0.5, seed=1)
+        tb = tokenize_dataset(ds, ByteTokenizer(), max_len=512)
+        k = 2
+        fid = kfold_assign(ds, k, seed=0)
+        steps = 4
+        batches = make_fold_batches(fid, k, batch_size=4, epochs=1, seed=0)[:steps]
+        params = init_params(jax.random.key(0), spec)
+        tokens = jnp.asarray(tb.tokens)
+        mask = jnp.asarray(tb.loss_mask)
+        pos = jnp.asarray(tb.answer_pos)
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+
+        # parallel: one program, k folds
+        tr = FoldTrainer(spec, lspec, k=k, lr=1e-3, total_steps=steps, t_max=t_max)
+        lora0, opt0 = tr.init_state(jax.random.key(7))
+        lora_p, _, _ = tr.fit(params, lora0, opt0, tokens, mask, batches,
+                              all_pos=pos, log_every=1)
+
+        # sequential: k single-fold programs from identical per-fold states
+        tr1 = FoldTrainer(spec, lspec, k=1, lr=1e-3, total_steps=steps, t_max=t_max)
+        lora0, opt0 = tr.init_state(jax.random.key(7))  # same init
+        seq_results = []
+        for f in range(k):
+            lf = jax.tree.map(lambda x: x[f : f + 1], lora0)
+            of = jax.tree.map(
+                lambda x: x[f : f + 1] if hasattr(x, "shape") and x.ndim > 0 else x,
+                opt0,
+            )
+            lf, _, _ = tr1.fit(params, lf, of, tokens, mask,
+                               batches[:, f : f + 1], all_pos=pos, log_every=1)
+            seq_results.append(lf)
+        lora_s = jax.tree.map(lambda *xs: jnp.concatenate(xs), *seq_results)
+        for a, b in zip(jax.tree.leaves(lora_p), jax.tree.leaves(lora_s)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -1,0 +1,148 @@
+"""SFT engine + held-out scoring tests (SURVEY.md §4.4 integration semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tst.config import RunConfig
+from tst.data.folds import kfold_assign
+from tst.data.synthetic import make_synthetic_mcq
+from tst.data.tokenize import ByteTokenizer, tokenize_dataset
+from tst.models.decoder import init_params, spec_by_name
+from tst.models.lora import LoraSpec
+from tst.train.infer import heldout_index_grid, letter_probs, score_heldout_mcq
+from tst.train.sft import FoldTrainer, make_fold_batches, sft_loss, sft_loss_window
+
+
+class TestFoldBatches:
+    def test_shapes_and_exclusion(self):
+        fid = np.array([0, 1, 2, 0, 1, 2, 0, 1, 2, 0], np.int32)
+        b = make_fold_batches(fid, k=3, batch_size=4, epochs=2, seed=0)
+        assert b.shape[1] == 3 and b.shape[2] == 4
+        for f in range(3):
+            rows = b[:, f, :].ravel()
+            assert not np.isin(rows, np.flatnonzero(fid == f)).any()
+
+    def test_batch_multiple(self):
+        fid = np.arange(12, dtype=np.int32) % 3
+        b = make_fold_batches(fid, 3, batch_size=5, epochs=1, seed=0, batch_multiple=4)
+        assert b.shape[2] == 8
+
+    def test_deterministic(self):
+        fid = np.arange(20, dtype=np.int32) % 4
+        b1 = make_fold_batches(fid, 4, 4, 2, seed=3)
+        b2 = make_fold_batches(fid, 4, 4, 2, seed=3)
+        np.testing.assert_array_equal(b1, b2)
+
+
+class TestHeldoutGrid:
+    def test_grid(self):
+        fid = np.array([0, 1, 1, 0, 1], np.int32)
+        idx, valid = heldout_index_grid(fid, 2)
+        assert idx.shape == (2, 3)
+        assert valid.sum() == 5
+        assert set(idx[0][valid[0]]) == {0, 3}
+        assert set(idx[1][valid[1]]) == {1, 2, 4}
+
+    def test_letter_probs_masks_invalid_options(self):
+        ll = np.array([[[2.0, 1.0, 0.5, 99.0]]], np.float32)  # C=4, but sample has 2 options
+        probs = letter_probs(ll, np.array([2]), np.array([[0]]), np.array([[True]]), 1)
+        assert probs[0, 2] == 0 and probs[0, 3] == 0
+        assert probs[0].sum() == pytest.approx(1.0)
+
+
+class TestLossAndTraining:
+    def _setup(self, n=48, bias=1.0, k=2, seed=0):
+        ds = make_synthetic_mcq(n=n, bias_fraction=bias, bias_kind="longest_option", seed=seed)
+        tok = ByteTokenizer()
+        tb = tokenize_dataset(ds, tok)
+        fid = kfold_assign(ds, k, seed)
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        return ds, tb, fid, spec, params
+
+    def test_loss_decreases(self):
+        ds, tb, fid, spec, params = self._setup()
+        lspec = LoraSpec(rank=8, alpha=16, dtype=jnp.float32)
+        batches = make_fold_batches(fid, 2, batch_size=8, epochs=8, seed=0)
+        trainer = FoldTrainer(spec, lspec, k=2, lr=3e-3, total_steps=batches.shape[0])
+        lora, opt = trainer.init_state(jax.random.key(1))
+        lora, opt, log = trainer.fit(
+            params, lora, opt, jnp.asarray(tb.tokens), jnp.asarray(tb.loss_mask),
+            batches, log_every=5,
+        )
+        assert log.losses[-1] < log.losses[0] * 0.8, log.losses
+
+    def test_loss_mask_only_targets(self):
+        """Loss must not depend on prompt tokens' own predictions."""
+        ds, tb, fid, spec, params = self._setup(n=8)
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        tokens = jnp.asarray(tb.tokens[:4])
+        mask = jnp.asarray(tb.loss_mask[:4])
+        l1 = sft_loss(params, None, tokens, mask, spec, lspec)
+        # scramble a PROMPT region token (before answer_pos) of every row
+        scrambled = tb.tokens[:4].copy()
+        scrambled[:, 5] = 77
+        l2 = sft_loss(params, None, jnp.asarray(scrambled), mask, spec, lspec)
+        # losses differ (context changed) but both are finite and positive
+        assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+        # zero mask => zero-ish loss denominator guard
+        l3 = sft_loss(params, None, tokens, jnp.zeros_like(mask), spec, lspec)
+        assert float(l3) == 0.0
+
+    def test_windowed_loss_equals_full(self):
+        """The answer-window loss must be numerically identical to the
+        full-sequence loss (loss_mask is zero outside the window)."""
+        ds, tb, fid, spec, params = self._setup(n=8)
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        tokens = jnp.asarray(tb.tokens)
+        mask = jnp.asarray(tb.loss_mask)
+        pos = jnp.asarray(tb.answer_pos)
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+        full = sft_loss(params, None, tokens, mask, spec, lspec)
+        win = sft_loss_window(params, None, tokens, mask, pos, t_max, spec, lspec)
+        assert float(full) == pytest.approx(float(win), abs=1e-5)
+        # and with a window larger than needed (clipping path)
+        win2 = sft_loss_window(params, None, tokens, mask, pos, t_max + 7, spec, lspec)
+        assert float(full) == pytest.approx(float(win2), abs=1e-5)
+
+
+@pytest.mark.slow
+class TestDiagnosticSemantics:
+    """Planted-bias end-to-end (SURVEY.md §4.4): blind SFT must learn the
+    shortcut on biased data and stay near chance on clean data."""
+
+    def _run(self, bias: float, seed: int = 0, epochs: int = 6):
+        cfg = RunConfig()
+        cfg.data.bench = "synthetic"
+        cfg.data.k = 2
+        cfg.data.seed = seed
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.lora.rank = 4
+        cfg.lora.alpha = 8.0
+        cfg.lora.targets = ("q_proj", "v_proj")
+        cfg.optim.lr = 5e-3
+        cfg.optim.epochs = epochs
+        cfg.optim.batch_size = 16
+        import tempfile
+
+        cfg.out_dir = tempfile.mkdtemp()
+        # position bias ("answer is always A") is learnable even through a
+        # random frozen base — it only needs a letter-marginal shift. The
+        # harder content biases are exercised with pretrained bases.
+        ds = make_synthetic_mcq(n=64, bias_fraction=bias,
+                                bias_kind="position", seed=seed)
+        from tst.train.pipeline import run_sft_diagnostic
+
+        return run_sft_diagnostic(ds, cfg)
+
+    def test_biased_above_chance(self):
+        rep = self._run(bias=1.0)
+        assert rep["blind_accuracy"] > rep["chance_accuracy"] + 0.2, rep
+
+    def test_unbiased_near_chance(self):
+        rep = self._run(bias=0.0)
+        assert rep["blind_accuracy"] < rep["chance_accuracy"] + 0.2, rep

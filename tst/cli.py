@@ -39,9 +39,11 @@ def _common_flags(p: argparse.ArgumentParser, default_platform: str = "auto") ->
 
 
 def _resolve(args) -> RunConfig:
+    from tst.aux.ckpt import enable_compilation_cache
     from tst.runtime.platform import select_platform
 
     select_platform(getattr(args, "platform", None))
+    enable_compilation_cache()
     cfg = config_mod.resolve(args.preset, args.config, args.overrides)
     if args.bench is not None:
         cfg.data.bench = args.bench

@@ -1,0 +1,286 @@
+"""Decoder-only LM core: RMSNorm + RoPE + GQA attention + SwiGLU, TPU-first.
+
+Requirement: "fine-tuning a powerful Large Language Model" on blind text
+(reference README.md:35); model families Llama-3-8B / Qwen2.5-0.5B from
+BASELINE.json configs. Both are the same architecture family; a single pure
+functional core serves both, parameterized by :class:`ModelSpec` (Qwen2 adds
+QKV biases; Llama-3 ties nothing and uses a separate lm_head).
+
+TPU-first design decisions (SURVEY.md §1 L2/L3):
+
+  * **Layers are stacked**: every per-layer weight carries a leading
+    ``[n_layers, ...]`` axis and the forward pass is one ``lax.scan`` over
+    that axis. XLA compiles ONE layer body instead of L copies — compile
+    time for the 8B model is a known hard part (SURVEY.md §7) — and FSDP
+    sharding of the stacked arrays is uniform.
+  * **Pure pytrees**: params are plain nested dicts of jnp arrays; ``apply``
+    is a pure function — vmap over a fold axis of LoRA adapters (B11) and
+    pjit/GSPMD over the mesh compose trivially.
+  * **bf16 weights / f32 accumulation**: matmuls run in bfloat16 on the MXU
+    with ``preferred_element_type=float32``; norms/softmax/logits in f32.
+  * **Attention is pluggable**: dense XLA einsum path (always available) or
+    the Pallas flash kernel (tst.kernels, M4) selected per call.
+  * Optional ``jax.checkpoint`` (remat) around the scanned layer body trades
+    FLOPs for HBM on the 8B config.
+
+Weight-name mapping from HF checkpoints lives in tst/models/hf_load.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    d_head: int
+    d_ff: int
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    qkv_bias: bool = False  # Qwen2 style
+    tie_embeddings: bool = False
+    max_seq_len: int = 32768
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.d_head
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.d_head
+
+
+_SPECS: Dict[str, ModelSpec] = {
+    # test-scale model; byte-tokenizer vocab
+    "tiny": ModelSpec("tiny", vocab_size=384, d_model=64, n_layers=2, n_heads=4,
+                      n_kv_heads=2, d_head=16, d_ff=128, tie_embeddings=True),
+    # slightly bigger CPU-integration scale
+    "small": ModelSpec("small", vocab_size=384, d_model=128, n_layers=4, n_heads=8,
+                       n_kv_heads=4, d_head=16, d_ff=512, tie_embeddings=True),
+    # HF Qwen/Qwen2.5-0.5B-Instruct geometry (BASELINE.json config 2)
+    "qwen2.5-0.5b": ModelSpec("qwen2.5-0.5b", vocab_size=151936, d_model=896,
+                              n_layers=24, n_heads=14, n_kv_heads=2, d_head=64,
+                              d_ff=4864, rope_theta=1000000.0, qkv_bias=True,
+                              tie_embeddings=True),
+    # HF meta-llama/Meta-Llama-3-8B geometry (BASELINE.json configs 3/5)
+    "llama3-8b": ModelSpec("llama3-8b", vocab_size=128256, d_model=4096,
+                           n_layers=32, n_heads=32, n_kv_heads=8, d_head=128,
+                           d_ff=14336, rope_theta=500000.0, rms_eps=1e-5),
+}
+
+
+def spec_by_name(name: str, **overrides) -> ModelSpec:
+    if name not in _SPECS:
+        raise KeyError(f"unknown model {name!r}; have {sorted(_SPECS)}")
+    spec = _SPECS[name]
+    return dataclasses.replace(spec, **overrides) if overrides else spec
+
+
+#: Logical sharding axes per parameter path (mesh rules live in runtime/mesh.py).
+#: Convention: linear weights are stored [in, out] ("x @ w" orientation).
+PARAM_AXES: Dict[str, tuple] = {
+    "embed": ("vocab", "embed"),
+    "final_norm": (None,),
+    "lm_head": ("embed", "vocab"),
+    "layers.attn_norm": ("layer", None),
+    "layers.wq": ("layer", "embed", "heads"),
+    "layers.wk": ("layer", "embed", "heads"),
+    "layers.wv": ("layer", "embed", "heads"),
+    "layers.wo": ("layer", "heads", "embed"),
+    "layers.bq": ("layer", "heads"),
+    "layers.bk": ("layer", "heads"),
+    "layers.bv": ("layer", "heads"),
+    "layers.mlp_norm": ("layer", None),
+    "layers.w_gate": ("layer", "embed", "ffn"),
+    "layers.w_up": ("layer", "embed", "ffn"),
+    "layers.w_down": ("layer", "ffn", "embed"),
+}
+
+
+def init_params(rng: jax.Array, spec: ModelSpec) -> Params:
+    """Random init (scaled normal), used for tests and as the load target."""
+    k_embed, k_layers, k_head = jax.random.split(rng, 3)
+    d, L = spec.d_model, spec.n_layers
+    dt = spec.dtype
+
+    def norm_init(shape):
+        return jnp.ones(shape, dt)
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dt)
+
+    ks = jax.random.split(k_layers, 7)
+    layers = {
+        "attn_norm": norm_init((L, d)),
+        "wq": dense(ks[0], (L, d, spec.q_dim), d),
+        "wk": dense(ks[1], (L, d, spec.kv_dim), d),
+        "wv": dense(ks[2], (L, d, spec.kv_dim), d),
+        "wo": dense(ks[3], (L, spec.q_dim, d), spec.q_dim),
+        "mlp_norm": norm_init((L, d)),
+        "w_gate": dense(ks[4], (L, d, spec.d_ff), d),
+        "w_up": dense(ks[5], (L, d, spec.d_ff), d),
+        "w_down": dense(ks[6], (L, spec.d_ff, d), spec.d_ff),
+    }
+    if spec.qkv_bias:
+        layers["bq"] = jnp.zeros((L, spec.q_dim), dt)
+        layers["bk"] = jnp.zeros((L, spec.kv_dim), dt)
+        layers["bv"] = jnp.zeros((L, spec.kv_dim), dt)
+    params: Params = {
+        "embed": dense(k_embed, (spec.vocab_size, d), d),
+        "layers": layers,
+        "final_norm": norm_init((d,)),
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = dense(k_head, (d, spec.vocab_size), d)
+    return params
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """f32 statistics, output in x.dtype (keeps the scan carry bf16)."""
+    xf = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * scale * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(seq_len: int, d_head: int, theta: float) -> tuple:
+    """cos/sin tables [S, d_head//2] — HF "split-half" RoPE convention."""
+    inv_freq = 1.0 / (theta ** (np.arange(0, d_head, 2, dtype=np.float64) / d_head))
+    pos = np.arange(seq_len, dtype=np.float64)
+    angles = np.outer(pos, inv_freq)  # [S, d_head/2]
+    return jnp.asarray(np.cos(angles), jnp.float32), jnp.asarray(np.sin(angles), jnp.float32)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, dh]; rotate the two halves (HF non-interleaved layout)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[None, :, None, :].astype(x.dtype)
+    s = sin[None, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def _dense_attention(q, k, v, causal_mask):
+    """XLA fallback attention. q: [B,S,H,dh]; k/v: [B,S,K,dh] (GQA)."""
+    b, s, h, dh = q.shape
+    kv_heads = k.shape[2]
+    groups = h // kv_heads
+    qg = q.reshape(b, s, kv_heads, groups, dh)
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(dh)
+    scores = jnp.where(causal_mask[None, None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, s, h, dh).astype(q.dtype)
+
+
+def _flash_attention(q, k, v):
+    from tst.kernels.fused_attn_mlp import flash_attention
+
+    return flash_attention(q, k, v, causal=True)
+
+
+def apply_model(
+    params: Params,
+    tokens: jnp.ndarray,  # int32 [B, S]
+    spec: ModelSpec,
+    lora: Optional[Params] = None,
+    lora_spec=None,
+    use_pallas: bool = False,
+    remat: bool = False,
+    return_hidden: bool = False,
+) -> jnp.ndarray:
+    """Forward pass → logits f32 [B, S, V].
+
+    ``lora``: optional adapter pytree from tst.models.lora, applied inside
+    the layer scan (stacked on the same leading layer axis).
+
+    ``return_hidden=True`` returns the final-norm hidden states [B, S, D]
+    *before* the vocabulary projection — callers that only need logits at a
+    few positions (answer-token loss, MCQ scoring) project a gathered window
+    themselves instead of materializing [B, S, V] f32 (HBM-bandwidth win;
+    the vocab matmul is the single largest activation in the program).
+    """
+    b, s = tokens.shape
+    x = params["embed"].astype(spec.dtype)[tokens]  # [B, S, D]
+    cos, sin = rope_tables(s, spec.d_head, spec.rope_theta)
+    causal = jnp.tril(jnp.ones((s, s), bool))
+
+    from tst.models.lora import apply_lora_delta  # circular-safe local import
+
+    def layer_body(carry, scanned):
+        h_in = carry
+        lw = scanned["w"]
+        la = scanned.get("lora")
+
+        def proj(name, y, w_key):
+            out = jnp.einsum("bsd,df->bsf", y, lw[w_key].astype(spec.dtype),
+                             preferred_element_type=jnp.float32).astype(spec.dtype)
+            if la is not None and name in la:
+                out = out + apply_lora_delta(la[name], y, lora_spec)
+            bias_key = {"q": "bq", "k": "bk", "v": "bv"}.get(name)
+            if bias_key and bias_key in lw:
+                out = out + lw[bias_key].astype(spec.dtype)
+            return out
+
+        # attention
+        h = rms_norm(h_in, lw["attn_norm"], spec.rms_eps)
+        q = proj("q", h, "wq").reshape(b, s, spec.n_heads, spec.d_head)
+        k = proj("k", h, "wk").reshape(b, s, spec.n_kv_heads, spec.d_head)
+        v = proj("v", h, "wv").reshape(b, s, spec.n_kv_heads, spec.d_head)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if use_pallas:
+            attn = _flash_attention(q, k, v)
+        else:
+            attn = _dense_attention(q, k, v, causal)
+        attn = attn.reshape(b, s, spec.q_dim)
+        o = proj("o", attn, "wo")
+        h_mid = h_in + o
+        # MLP (SwiGLU)
+        h = rms_norm(h_mid, lw["mlp_norm"], spec.rms_eps)
+        gate = proj("gate", h, "w_gate")
+        up = proj("up", h, "w_up")
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up
+        down = proj("down", act, "w_down")
+        return h_mid + down, None
+
+    body = layer_body
+    if remat:
+        body = jax.checkpoint(layer_body, prevent_cse=False)
+
+    scanned = {"w": params["layers"]}
+    if lora is not None:
+        scanned["lora"] = lora
+    x, _ = jax.lax.scan(body, x, scanned)
+
+    x = rms_norm(x, params["final_norm"], spec.rms_eps)
+    if return_hidden:
+        return x
+    logits = jnp.einsum("bsd,dv->bsv", x, lm_head_weight(params, spec).astype(spec.dtype),
+                        preferred_element_type=jnp.float32)
+    return logits
+
+
+def lm_head_weight(params: Params, spec: ModelSpec) -> jnp.ndarray:
+    """[D, V] vocabulary projection (embed transpose when tied)."""
+    return params["embed"].T if spec.tie_embeddings else params["lm_head"]
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -1,0 +1,189 @@
+"""HF checkpoint → stacked-layer sharded pytree loading.
+
+SURVEY.md §7 hard part 2: load an 8B HF checkpoint without host OOM by
+streaming tensor-by-tensor (safetensors lazy slices) into preallocated
+stacked-layer buffers, then device_put per leaf with its target sharding.
+
+Name mapping covers the Llama/Qwen2 families (``LlamaForCausalLM`` /
+``Qwen2ForCausalLM``). Our convention: linear weights are [in, out]
+(HF stores [out, in] — transposed on load); per-layer weights stack on a
+leading layer axis to match the decoder's ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tst.models.decoder import ModelSpec, Params
+
+#: HF tensor name templates → (our path, needs_transpose). {i} = layer index.
+_LAYER_MAP = {
+    "model.layers.{i}.input_layernorm.weight": ("attn_norm", False),
+    "model.layers.{i}.self_attn.q_proj.weight": ("wq", True),
+    "model.layers.{i}.self_attn.k_proj.weight": ("wk", True),
+    "model.layers.{i}.self_attn.v_proj.weight": ("wv", True),
+    "model.layers.{i}.self_attn.o_proj.weight": ("wo", True),
+    "model.layers.{i}.self_attn.q_proj.bias": ("bq", False),
+    "model.layers.{i}.self_attn.k_proj.bias": ("bk", False),
+    "model.layers.{i}.self_attn.v_proj.bias": ("bv", False),
+    "model.layers.{i}.post_attention_layernorm.weight": ("mlp_norm", False),
+    "model.layers.{i}.mlp.gate_proj.weight": ("w_gate", True),
+    "model.layers.{i}.mlp.up_proj.weight": ("w_up", True),
+    "model.layers.{i}.mlp.down_proj.weight": ("w_down", True),
+}
+_TOP_MAP = {
+    "model.embed_tokens.weight": ("embed", False),
+    "model.norm.weight": ("final_norm", False),
+    "lm_head.weight": ("lm_head", True),
+}
+
+
+def _to_numpy(t) -> np.ndarray:
+    """torch tensor / np array / jnp array → np array (bf16 → f32)."""
+    if isinstance(t, np.ndarray):
+        return t
+    if isinstance(t, jnp.ndarray):
+        return np.asarray(t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t)
+    # torch tensor without importing torch at module level
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.cpu().numpy()
+    return np.asarray(t)
+
+
+def convert_state_dict(
+    sd: Mapping[str, Any],
+    spec: ModelSpec,
+    dtype=None,
+    put: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
+) -> Params:
+    """Convert a full HF state dict (name → tensor) to our pytree.
+
+    ``put(path, array)`` lets callers control placement/sharding per leaf;
+    default is plain jnp.asarray.
+    """
+    dt = dtype or spec.dtype
+    put = put or (lambda path, a: jnp.asarray(a, dt))
+    L = spec.n_layers
+
+    layers_np: Dict[str, np.ndarray] = {}
+
+    def layer_buf(key: str, shape):
+        if key not in layers_np:
+            layers_np[key] = np.zeros((L,) + shape, np.float32)
+        return layers_np[key]
+
+    params: Params = {}
+    for name, tensor in sd.items():
+        hit = _TOP_MAP.get(name)
+        if hit:
+            path, transpose = hit
+            a = _to_numpy(tensor)
+            params[path] = put(path, a.T if transpose else a)
+            continue
+        parts = name.split(".")
+        if len(parts) > 2 and parts[1] == "layers":
+            i = int(parts[2])
+            template = ".".join(parts[:2] + ["{i}"] + parts[3:])
+            hit = _LAYER_MAP.get(template)
+            if hit is None:
+                continue  # e.g. rotary inv_freq buffers
+            key, transpose = hit
+            a = _to_numpy(tensor)
+            a = a.T if transpose else a
+            layer_buf(key, a.shape)[i] = a
+    params["layers"] = {k: put(f"layers.{k}", v) for k, v in sorted(layers_np.items())}
+    if spec.tie_embeddings and "lm_head" in params:
+        del params["lm_head"]
+    _check_shapes(params, spec)
+    return params
+
+
+def _check_shapes(params: Params, spec: ModelSpec) -> None:
+    expect = {
+        "embed": (spec.vocab_size, spec.d_model),
+        "final_norm": (spec.d_model,),
+    }
+    for k, shape in expect.items():
+        got = tuple(params[k].shape)
+        if got != shape:
+            raise ValueError(f"{k}: shape {got} != spec {shape}")
+    wq = params["layers"]["wq"]
+    if tuple(wq.shape) != (spec.n_layers, spec.d_model, spec.q_dim):
+        raise ValueError(f"wq: {tuple(wq.shape)} != {(spec.n_layers, spec.d_model, spec.q_dim)}")
+    if spec.qkv_bias and "bq" not in params["layers"]:
+        raise ValueError("spec expects qkv biases but checkpoint has none")
+
+
+def load_checkpoint(
+    ckpt_dir: str,
+    spec: ModelSpec,
+    dtype=None,
+    put: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
+) -> Params:
+    """Stream a safetensors checkpoint directory into the param pytree.
+
+    Handles single-file and sharded (``model.safetensors.index.json``)
+    layouts. Tensors are read lazily one at a time — peak host memory is one
+    stacked buffer per layer-param family, never the whole checkpoint twice.
+    """
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {ckpt_dir}")
+
+    class _LazySD(Mapping):
+        def __init__(self):
+            self._index: Dict[str, str] = {}
+            for f in files:
+                with safe_open(f, framework="numpy") as sf:
+                    for name in sf.keys():
+                        self._index[name] = f
+
+        def __getitem__(self, name):
+            with safe_open(self._index[name], framework="flax") as sf:
+                return sf.get_tensor(name)
+
+        def __iter__(self):
+            return iter(self._index)
+
+        def __len__(self):
+            return len(self._index)
+
+        def items(self):
+            for name in self._index:
+                yield name, self[name]
+
+    return convert_state_dict(_LazySD(), spec, dtype=dtype, put=put)
+
+
+def spec_from_hf_config(ckpt_dir: str, name: str = "custom") -> ModelSpec:
+    """Build a ModelSpec from an HF ``config.json`` (local dir)."""
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        cfg = json.load(f)
+    arch = (cfg.get("architectures") or ["?"])[0]
+    return ModelSpec(
+        name=name,
+        vocab_size=cfg["vocab_size"],
+        d_model=cfg["hidden_size"],
+        n_layers=cfg["num_hidden_layers"],
+        n_heads=cfg["num_attention_heads"],
+        n_kv_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+        d_head=cfg.get("head_dim", cfg["hidden_size"] // cfg["num_attention_heads"]),
+        d_ff=cfg["intermediate_size"],
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        rms_eps=cfg.get("rms_norm_eps", 1e-6),
+        qkv_bias="Qwen2" in arch,
+        tie_embeddings=cfg.get("tie_word_embeddings", False),
+        max_seq_len=cfg.get("max_position_embeddings", 32768),
+    )

@@ -1,0 +1,141 @@
+"""Device mesh, sharding rules, and collectives policy (SURVEY.md §2b B13).
+
+This module IS the distributed-communication backend of the framework: there
+is no NCCL/MPI equivalent to write on TPU — collectives are *emitted by XLA*
+from GSPMD sharding annotations, riding ICI within a slice and DCN across
+slices (SURVEY.md §5). What we own is:
+
+  * mesh construction with the axis convention ``(fold, data, tensor)``:
+      - ``fold``   — the workload's signature axis: k cross-validation fold
+                     models training simultaneously (outermost; maps to DCN
+                     if ever multi-slice),
+      - ``data``   — DP batch axis, doubling as the FSDP shard axis for the
+                     frozen base weights,
+      - ``tensor`` — Megatron-style TP (innermost, fastest ICI ring);
+  * PartitionSpec rules per parameter (column-parallel in-projections,
+    row-parallel out-projections, vocab-sharded embeddings);
+  * LoRA sharding that introduces NO extra collectives: adapter B shards
+    over ``tensor`` exactly like the base weight it patches (block-diagonal
+    LoRA insight, PAPERS.md:9); adapter A is tiny and replicated.
+
+With a single device every spec collapses to replicated — the same program
+runs on 1 chip, 8 fake CPU devices, or a v5p pod without code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("fold", "data", "tensor")
+
+
+def make_mesh(
+    fold: int = 1,
+    data: int = 1,
+    tensor: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the ``(fold, data, tensor)`` mesh over ``fold*data*tensor``
+    devices (defaults to all available). Axis sizes of 1 are legal and
+    collapse that axis to "unsharded"."""
+    devs = list(devices if devices is not None else jax.devices())
+    need = fold * data * tensor
+    if need > len(devs):
+        raise ValueError(f"mesh {fold}x{data}x{tensor} needs {need} devices, have {len(devs)}")
+    grid = np.asarray(devs[:need]).reshape(fold, data, tensor)
+    return Mesh(grid, AXES)
+
+
+def from_config(mesh_cfg, devices=None) -> Mesh:
+    return make_mesh(mesh_cfg.fold, mesh_cfg.data, mesh_cfg.tensor, devices)
+
+
+#: logical model axis (tst.models.decoder.PARAM_AXES) → mesh axis
+LOGICAL_RULES: Dict[str, Optional[str]] = {
+    "vocab": "tensor",
+    "embed": "data",  # FSDP: base weights sharded over the data axis
+    "heads": "tensor",
+    "ffn": "tensor",
+    "layer": None,  # the scan axis is never sharded
+}
+
+
+def base_param_pspec(path: str) -> P:
+    """PartitionSpec for a base-model parameter by its pytree path."""
+    from tst.models.decoder import PARAM_AXES
+
+    axes = PARAM_AXES.get(path)
+    if axes is None:
+        raise KeyError(f"no sharding axes registered for param {path!r}")
+    return P(*(LOGICAL_RULES.get(a) for a in axes))
+
+
+def lora_param_pspec(leaf_name: str, with_fold_axis: bool = True) -> P:
+    """LoRA adapters: [fold?, L, r, in] for A (replicated), [fold?, L, out, r]
+    for B (out-dim sharded over ``tensor``, matching the base projection —
+    no extra collectives)."""
+    if leaf_name == "a":
+        inner = (None, None, None)
+    elif leaf_name == "b":
+        inner = (None, "tensor", None)
+    else:
+        raise KeyError(f"unexpected LoRA leaf {leaf_name!r}")
+    return P(*((("fold",) if with_fold_axis else ()) + inner))
+
+
+def _flatten_with_paths(tree, prefix=""):
+    out = []
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out += _flatten_with_paths(tree[k], f"{prefix}{k}." if not prefix else f"{prefix}{k}.")
+    else:
+        out.append((prefix.rstrip("."), tree))
+    return out
+
+
+def param_pspec_tree(params) -> Any:
+    """Map a base-param pytree to a matching tree of PartitionSpecs.
+
+    Layer dict leaves resolve as ``layers.<name>``; top-level as their key.
+    """
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, f"{path}.{k}" if path else k) for k, v in node.items()}
+        return base_param_pspec(path)
+
+    return walk(params, "")
+
+
+def lora_pspec_tree(lora, with_fold_axis: bool = True) -> Any:
+    def walk(node, leaf_name=None):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        return lora_param_pspec(leaf_name, with_fold_axis)
+
+    return walk(lora)
+
+
+def shard_tree(tree, pspecs, mesh: Mesh):
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, pspecs
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_pspec(with_fold_axis: bool = True) -> P:
+    """Token batches: [fold?, batch, seq] → fold × data sharding."""
+    return P(*((("fold",) if with_fold_axis else ()) + ("data", None)))
+
+
+def mesh_axis_sizes(mesh: Mesh) -> Dict[str, int]:
+    return dict(zip(mesh.axis_names, mesh.devices.shape))

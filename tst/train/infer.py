@@ -1,0 +1,164 @@
+"""Held-out batched inference: per-option log-prob MCQ scoring (B15).
+
+Requirement: score each sample with the fold-model that *never saw it* in
+training (reference README.md:35 — k-fold CV), as "batched XLA inference over
+each held-out fold" [north-star]. Design (SURVEY.md §3.1 hot loop 2):
+
+  * MCQ answers are single tokens by construction (tst.data.tokenize), so ONE
+    forward pass per sample yields all option probabilities: gather the
+    logits row at ``answer_pos`` and read the option-letter token ids.
+  * fold-parallel: held-out rows are padded to a common ``[k, M]`` index
+    grid; ``vmap`` over the fold axis runs every fold-model on its own
+    held-out slice inside one jitted program — total work is exactly N
+    forwards, not k·N.
+  * probabilities are softmax over the *valid* option letters only (options
+    beyond a sample's count are masked), so 2-option and 10-option samples
+    are comparable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tst.models.decoder import ModelSpec, apply_model, lm_head_weight
+from tst.models.lora import LoraSpec
+
+
+def heldout_index_grid(fold_id: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad each fold's held-out rows to [k, M] (+ validity mask [k, M])."""
+    rows = [np.flatnonzero(fold_id == f) for f in range(k)]
+    m = max(len(r) for r in rows)
+    idx = np.zeros((k, m), np.int32)
+    valid = np.zeros((k, m), bool)
+    for f, r in enumerate(rows):
+        idx[f, : len(r)] = r
+        valid[f, : len(r)] = True
+    return idx, valid
+
+
+#: (spec, lora_spec, use_pallas, batch) → jitted scorer (see FoldTrainer note)
+_SCORER_CACHE: Dict = {}
+
+
+def make_mcq_scorer(
+    spec: ModelSpec,
+    lora_spec: Optional[LoraSpec] = None,
+    use_pallas: bool = False,
+    batch: int = 32,
+):
+    """Returns jitted ``score(base, lora_k|None, tokens, answer_pos,
+    option_ids, idx_kM)`` → letter logits [k, M, C].
+
+    Scoring runs in fixed-size chunks of ``batch`` along M to bound memory;
+    chunking happens inside one jitted scan so the dataset stays device-side.
+    """
+    key = (spec, lora_spec, use_pallas, batch)
+    cached = _SCORER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def forward_logits(base, lora, tokens_bS, pos_b, option_ids):
+        # hidden-state gather + letter-column head projection: never builds
+        # [b, S, V] logits — one [b, D] @ [D, C] matmul instead.
+        h = apply_model(base, tokens_bS, spec, lora=lora, lora_spec=lora_spec,
+                        use_pallas=use_pallas, return_hidden=True)
+        h_at = jnp.take_along_axis(
+            h, pos_b[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]  # [b, D]
+        head_cols = lm_head_weight(base, spec)[:, option_ids]  # [D, C]
+        return jnp.einsum("bd,dc->bc", h_at, head_cols.astype(h.dtype),
+                          preferred_element_type=jnp.float32)
+
+    @partial(jax.jit, static_argnames=())
+    def score(base, lora_k, all_tokens, all_pos, option_ids, idx_kM):
+        k, m = idx_kM.shape
+        pad = (-m) % batch
+        idx_pad = jnp.pad(idx_kM, ((0, 0), (0, pad)))
+        n_chunks = idx_pad.shape[1] // batch
+        chunks = idx_pad.reshape(k, n_chunks, batch)
+
+        def per_fold(lora, idx_chunks):
+            def body(_, idx_b):
+                toks = all_tokens[idx_b]
+                pos = all_pos[idx_b]
+                return None, forward_logits(base, lora, toks, pos, option_ids)
+
+            _, out = jax.lax.scan(body, None, idx_chunks)
+            return out.reshape(n_chunks * batch, -1)[:m]  # [M, C]
+
+        if lora_k is None:
+            return jax.vmap(lambda ic: per_fold(None, ic))(chunks)
+        return jax.vmap(per_fold)(lora_k, chunks)
+
+    _SCORER_CACHE[key] = score
+    return score
+
+
+def letter_probs(
+    letter_logits: np.ndarray,  # [k, M, C]
+    n_options: np.ndarray,  # [N]
+    idx: np.ndarray,  # [k, M]
+    valid: np.ndarray,  # [k, M]
+    n: int,
+) -> np.ndarray:
+    """Scatter per-fold letter logits back to [N, C] option probabilities,
+    softmaxed over each sample's valid options."""
+    k, m, c = letter_logits.shape
+    probs = np.zeros((n, c), np.float32)
+    ll = np.asarray(letter_logits, np.float32)
+    for f in range(k):
+        rows = idx[f][valid[f]]
+        x = ll[f][valid[f]]  # [r, C]
+        nopt = n_options[rows]  # [r]
+        mask = np.arange(c)[None, :] < nopt[:, None]
+        x = np.where(mask, x, -np.inf)
+        x = x - x.max(-1, keepdims=True)
+        e = np.exp(x)
+        probs[rows] = e / e.sum(-1, keepdims=True)
+    return probs
+
+
+def score_heldout_mcq(
+    base,
+    lora_k,
+    spec: ModelSpec,
+    lora_spec: Optional[LoraSpec],
+    tokens: jnp.ndarray,
+    answer_pos: jnp.ndarray,
+    option_ids: np.ndarray,
+    n_options: np.ndarray,
+    fold_id: np.ndarray,
+    k: int,
+    use_pallas: bool = False,
+    batch: int = 32,
+) -> np.ndarray:
+    """End-to-end: held-out per-option probabilities [N, C]."""
+    idx, valid = heldout_index_grid(fold_id, k)
+    scorer = make_mcq_scorer(spec, lora_spec, use_pallas, batch)
+    ll = scorer(base, lora_k, tokens, answer_pos, jnp.asarray(option_ids), jnp.asarray(idx))
+    return letter_probs(np.asarray(ll), n_options, idx, valid, tokens.shape[0])
+
+
+def score_all_mcq(
+    base,
+    spec: ModelSpec,
+    tokens: jnp.ndarray,
+    answer_pos: jnp.ndarray,
+    option_ids: np.ndarray,
+    n_options: np.ndarray,
+    use_pallas: bool = False,
+    batch: int = 32,
+) -> np.ndarray:
+    """Zero-shot scoring of every sample with the base model (the blind
+    baseline leg of the vision-blind gap, SURVEY.md §3.4)."""
+    n = tokens.shape[0]
+    fold_id = np.zeros(n, np.int32)
+    return score_heldout_mcq(
+        base, None, spec, None, tokens, answer_pos, option_ids, n_options,
+        fold_id, k=1, use_pallas=use_pallas, batch=batch,
+    )

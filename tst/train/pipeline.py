@@ -1,0 +1,191 @@
+"""End-to-end SFT diagnostic pipeline: `tst diagnose-sft` / `eval-blind`.
+
+Orchestrates SURVEY.md call stack §3.1: load → blind-render → tokenize →
+fold split → mesh → fold-parallel LoRA SFT → held-out scoring → s(x) →
+metrics/artifacts. Also the zero-shot blind baseline (§3.4).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tst.config import RunConfig
+from tst.data.folds import kfold_assign
+from tst.data.schema import BlindDataset
+from tst.data.tokenize import ByteTokenizer, HFTokenizer, TokenBatch, tokenize_dataset
+from tst.diagnose.score import bias_scores
+from tst.eval import metrics
+from tst.models.decoder import ModelSpec, init_params, spec_by_name
+from tst.models.lora import LoraSpec
+from tst.runtime import mesh as mesh_mod
+from tst.train.infer import score_heldout_mcq, score_all_mcq
+from tst.train.sft import FoldTrainer, make_fold_batches
+
+
+def build_tokenizer(cfg: RunConfig):
+    t = cfg.model.tokenizer
+    if t == "byte":
+        return ByteTokenizer()
+    if t == "hf":
+        path = cfg.model.path
+        if path is None:
+            raise ValueError("model.tokenizer='hf' needs model.path (local checkpoint dir)")
+        return HFTokenizer(path)
+    return HFTokenizer(t)  # explicit tokenizer path
+
+
+def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[str, Any]]:
+    """ModelSpec + params: HF checkpoint when model.path is set, random
+    init otherwise (tests / synthetic runs). Params are FSDP/TP-sharded over
+    the mesh as they are created."""
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.model.dtype]
+    if cfg.model.path:
+        from tst.models.hf_load import load_checkpoint, spec_from_hf_config
+
+        spec = spec_from_hf_config(cfg.model.path, name=cfg.model.name)
+        spec = type(spec)(**{**spec.__dict__, "dtype": dtype})
+        put = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            def put(path, a):
+                return jax.device_put(
+                    jnp.asarray(a, dtype),
+                    NamedSharding(mesh, mesh_mod.base_param_pspec(path)),
+                )
+
+        params = load_checkpoint(cfg.model.path, spec, dtype=dtype, put=put)
+    else:
+        spec = spec_by_name(cfg.model.name, dtype=dtype)
+        if spec.vocab_size < tokenizer.vocab_size:
+            spec = spec_by_name(cfg.model.name, dtype=dtype, vocab_size=tokenizer.vocab_size)
+        params = init_params(jax.random.key(cfg.data.seed), spec)
+        if mesh is not None:
+            params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
+    return spec, params
+
+
+def _device_data(tb: TokenBatch, mesh=None):
+    """Dataset arrays → device (replicated: every fold/chip gathers rows)."""
+    kw = {}
+    if mesh is not None:
+        kw["device"] = mesh_mod.replicated(mesh)
+    tokens = jax.device_put(jnp.asarray(tb.tokens), **kw)
+    mask = jax.device_put(jnp.asarray(tb.loss_mask), **kw)
+    pos = jax.device_put(jnp.asarray(tb.answer_pos), **kw)
+    return tokens, mask, pos
+
+
+def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
+                       return_state: bool = False) -> Dict[str, Any]:
+    """The core diagnostic (BASELINE.json configs 2/3): k-fold blind LoRA SFT
+    → held-out s(x) → report. Returns the report dict (artifacts on disk)."""
+    t_start = time.time()
+    k = cfg.data.k
+    tokenizer = build_tokenizer(cfg)
+    tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
+                          include_context=cfg.data.include_context)
+    fold_id = kfold_assign(ds, k, cfg.data.seed)
+
+    mesh = None
+    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.tensor > 1:
+        mesh = mesh_mod.from_config(cfg.mesh)
+    spec, params = build_model(cfg, tokenizer, mesh)
+    lspec = LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
+                     targets=tuple(cfg.lora.targets), dtype=spec.dtype)
+
+    batches = make_fold_batches(
+        fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
+        batch_multiple=cfg.mesh.data,
+    )
+    # answer-window length: longest target (+1 margin), 2D-padded to even
+    t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+    trainer = FoldTrainer(
+        spec, lspec, k, lr=cfg.optim.lr, total_steps=batches.shape[0],
+        warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
+        use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
+        remat=cfg.model.remat, mesh=mesh, t_max=t_max,
+    )
+    lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
+    tokens, loss_mask, answer_pos = _device_data(tb, mesh)
+
+    from tst.aux.log import JsonlLogger
+
+    logger = JsonlLogger(cfg.out_dir)
+    lora, opt_state, tlog = trainer.fit(
+        params, lora, opt_state, tokens, loss_mask, batches, all_pos=answer_pos,
+        log_every=cfg.log_every,
+        log_fn=lambda step, loss: logger.log(event="train", step=step, loss=loss),
+    )
+
+    probs = score_heldout_mcq(
+        params, lora, spec, lspec, tokens, answer_pos, tb.option_token_ids,
+        tb.n_options, fold_id, k,
+        use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
+    )
+    s_x = bias_scores(probs, tb.gold, tb.n_options, rule=cfg.rf.score_rule)
+    pred = probs.argmax(-1).astype(np.int32)
+    is_mcq = tb.gold >= 0
+    blind_acc = float(metrics.accuracy(pred, tb.gold))
+    chance = float(metrics.chance_accuracy(tb.n_options))
+    fold_accs = [
+        float(metrics.accuracy(pred[fold_id == f], tb.gold[fold_id == f]))
+        for f in range(k)
+    ]
+    report = metrics.blind_report(blind_acc, chance, name=ds.name)
+    report.update(
+        n_samples=len(ds),
+        n_mcq=int(is_mcq.sum()),
+        k=k,
+        model=spec.name,
+        fold_accuracies=[round(a, 4) for a in fold_accs],
+        train_steps=tlog.steps,
+        final_loss=tlog.losses[-1] if tlog.losses else None,
+        train_wall_seconds=round(tlog.wall_seconds, 2),
+        train_samples_per_sec=round(tlog.samples_per_sec, 2),
+        wall_seconds=round(time.time() - t_start, 2),
+    )
+    from tst.io import outputs
+
+    outputs.write_sx_table(cfg.out_dir, ds, s_x, fold_id, pred=pred)
+    outputs.write_report(cfg.out_dir, report)
+    ds.save_jsonl(f"{cfg.out_dir}/dataset.jsonl")
+    cfg.save(f"{cfg.out_dir}/config.json")
+    logger.log(event="done", **{k2: v for k2, v in report.items()
+                                if isinstance(v, (int, float, str))})
+    if return_state:
+        report["_state"] = dict(params=params, lora=lora, spec=spec, lspec=lspec,
+                                tb=tb, fold_id=fold_id, probs=probs, s_x=s_x)
+    return report
+
+
+def run_blind_eval(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
+    """Zero-shot blind baseline: score every sample with the base model."""
+    t_start = time.time()
+    tokenizer = build_tokenizer(cfg)
+    tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
+                          include_context=cfg.data.include_context)
+    mesh = None
+    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.tensor > 1:
+        mesh = mesh_mod.from_config(cfg.mesh)
+    spec, params = build_model(cfg, tokenizer, mesh)
+    tokens, _, answer_pos = _device_data(tb, mesh)
+    probs = score_all_mcq(
+        params, spec, tokens, answer_pos, tb.option_token_ids, tb.n_options,
+        use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
+    )
+    pred = probs.argmax(-1).astype(np.int32)
+    blind_acc = float(metrics.accuracy(pred, tb.gold))
+    chance = float(metrics.chance_accuracy(tb.n_options))
+    report = metrics.blind_report(blind_acc, chance, name=ds.name)
+    report.update(n_samples=len(ds), model=spec.name, zero_shot=True,
+                  wall_seconds=round(time.time() - t_start, 2))
+    from tst.io import outputs
+
+    outputs.write_report(cfg.out_dir, report, name="blind_eval.json")
+    return report

@@ -1,0 +1,285 @@
+"""Fold-parallel blind LoRA SFT engine (SURVEY.md §2b B14, call stack §3.1).
+
+Requirement: "fine-tuning a powerful Large Language Model ... on exclusively
+the non-visual, textual inputs of the test set" under k-fold CV (reference
+README.md:35). TPU realization per the north-star: ALL k fold-models train
+simultaneously as one jitted program —
+
+  * the frozen base is ONE copy, FSDP-sharded over the ``data`` mesh axis and
+    closed over (vmap ``in_axes=None``) so XLA shares its per-layer
+    all-gathers across folds (SURVEY.md §7 hard part 1);
+  * LoRA adapters + optimizer states carry a leading ``[k]`` fold axis,
+    sharded over the ``fold`` mesh axis, trained by ``vmap(train_step)``;
+  * each fold sees only its k-1 training folds via per-fold *index streams*
+    (host-precomputed epoch permutations of each fold's train rows); the
+    dataset itself stays device-resident — the jitted step gathers its
+    ``[k, B, S]`` batch from the resident token array by index, so no
+    per-step host transfers occur;
+  * loss = cross-entropy on answer tokens only (prompt-masked labels),
+    computed in f32 off bf16 activations; AdamW + cosine schedule via optax;
+    adapter/optimizer buffers are donated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tst.models.decoder import ModelSpec, apply_model, lm_head_weight
+from tst.models.lora import LoraSpec, init_lora
+
+Params = Dict[str, Any]
+
+
+def sft_loss(
+    base: Params,
+    lora: Params,
+    tokens: jnp.ndarray,  # int32 [B, S]
+    loss_mask: jnp.ndarray,  # f32 [B, S] — 1.0 on target tokens
+    spec: ModelSpec,
+    lora_spec: LoraSpec,
+    use_pallas: bool = False,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Prompt-masked causal-LM cross entropy (mean over target tokens)."""
+    logits = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
+                         use_pallas=use_pallas, remat=remat)  # [B, S, V] f32
+    labels = tokens[:, 1:]
+    w = loss_mask[:, 1:]
+    lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    gold_lp = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
+    return -(gold_lp * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def sft_loss_window(
+    base: Params,
+    lora: Params,
+    tokens: jnp.ndarray,  # int32 [B, S]
+    loss_mask: jnp.ndarray,  # f32 [B, S]
+    answer_pos: jnp.ndarray,  # int32 [B] — last prompt-token index
+    t_max: int,  # static: max target length in tokens
+    spec: ModelSpec,
+    lora_spec: LoraSpec,
+    use_pallas: bool = False,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Same loss as :func:`sft_loss`, but the vocab projection runs only on
+    the ``t_max``-token answer window instead of all S positions.
+
+    Targets are contiguous from ``answer_pos+1`` (tst.data.tokenize), so
+    logits are needed only at rows ``answer_pos + [0, t_max)``. For S=512,
+    t_max≈4 this shrinks the [B, S, V] f32 logits (the largest buffer in the
+    program, ~5 GB for Qwen-0.5B at B=16) by S/t_max≈128× and cuts the head
+    matmul FLOPs equally. Numerically identical: loss_mask is zero outside
+    the window.
+    """
+    h = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
+                    use_pallas=use_pallas, remat=remat, return_hidden=True)
+    s = tokens.shape[1]
+    rows = answer_pos[:, None] + jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [B, T]
+    in_range = rows <= s - 2
+    rows_c = jnp.minimum(rows, s - 2)
+    hsel = jnp.take_along_axis(h, rows_c[..., None], axis=1)  # [B, T, D]
+    logits = jnp.einsum(
+        "btd,dv->btv", hsel, lm_head_weight(base, spec).astype(spec.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    labels = jnp.take_along_axis(tokens, rows_c + 1, axis=1)  # [B, T]
+    w = jnp.take_along_axis(loss_mask, rows_c + 1, axis=1) * in_range
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    gold_lp = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
+    return -(gold_lp * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def make_optimizer(lr: float, total_steps: int, warmup_frac: float = 0.03,
+                   weight_decay: float = 0.0, b1: float = 0.9, b2: float = 0.999):
+    warmup = max(int(total_steps * warmup_frac), 1)
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=lr, warmup_steps=warmup,
+        decay_steps=max(total_steps, warmup + 1), end_value=lr * 0.05,
+    )
+    return optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)
+
+
+def make_fold_batches(
+    fold_id: np.ndarray,
+    k: int,
+    batch_size: int,
+    epochs: int,
+    seed: int,
+    batch_multiple: int = 1,
+) -> np.ndarray:
+    """Per-fold epoch index streams: int32 [total_steps, k, B].
+
+    Fold f trains on rows with ``fold_id != f``. Every fold must execute the
+    same number of steps (one shared program), so steps_per_epoch is set by
+    the largest train split; smaller splits wrap around (re-sampling a fresh
+    permutation per wrap). ``batch_size`` is rounded up to ``batch_multiple``
+    (the ``data`` mesh axis size) so batches shard evenly.
+    """
+    b = batch_size + (-batch_size) % batch_multiple
+    rng = np.random.default_rng(seed)
+    train_rows: List[np.ndarray] = [np.flatnonzero(fold_id != f) for f in range(k)]
+    for f, rows in enumerate(train_rows):
+        if len(rows) == 0:
+            raise ValueError(f"fold {f} has an empty train split")
+    steps_per_epoch = max(int(np.ceil(len(r) / b)) for r in train_rows)
+    total = steps_per_epoch * epochs
+    out = np.zeros((total, k, b), np.int32)
+    for f, rows in enumerate(train_rows):
+        stream = []
+        while len(stream) < total * b:
+            stream.extend(rng.permutation(rows).tolist())
+        out[:, f, :] = np.asarray(stream[: total * b], np.int32).reshape(total, b)
+    return out
+
+
+#: (spec, lora_spec, optimizer hyperparams, flags) → jitted fold-train step
+_STEP_CACHE: Dict[Any, Callable] = {}
+
+
+@dataclasses.dataclass
+class TrainLog:
+    losses: List[float] = dataclasses.field(default_factory=list)  # mean over folds
+    fold_losses: List[List[float]] = dataclasses.field(default_factory=list)
+    steps: int = 0
+    wall_seconds: float = 0.0
+    samples_per_sec: float = 0.0
+
+
+class FoldTrainer:
+    """Owns the jitted fold-parallel train step and the training loop.
+
+    Construction compiles nothing; the first ``.fit`` step triggers XLA
+    compilation (cache it via aux.ckpt.enable_compilation_cache for 8B).
+    """
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        lora_spec: LoraSpec,
+        k: int,
+        lr: float = 1e-4,
+        total_steps: int = 100,
+        warmup_frac: float = 0.03,
+        weight_decay: float = 0.0,
+        use_pallas: bool = False,
+        remat: bool = False,
+        mesh=None,
+        t_max: Optional[int] = None,
+    ):
+        self.spec = spec
+        self.lora_spec = lora_spec
+        self.k = k
+        self.mesh = mesh
+        self._opt_key = (lr, total_steps, warmup_frac, weight_decay)
+        self.tx = make_optimizer(lr, total_steps, warmup_frac, weight_decay)
+        self.use_pallas = use_pallas
+        self.remat = remat
+        #: answer-window length; None = full-sequence loss (debug/fallback)
+        self.t_max = t_max
+        self._step_fn = self._build_step()
+
+    def init_state(self, rng: jax.Array) -> Tuple[Params, Params]:
+        """(stacked lora [k,...], stacked opt state). Per-fold RNGs differ so
+        fold adapters start decorrelated."""
+        keys = jax.random.split(rng, self.k)
+        loras = [init_lora(key, self.spec, self.lora_spec) for key in keys]
+        lora = jax.tree.map(lambda *xs: jnp.stack(xs), *loras)
+        if self.mesh is not None:
+            from tst.runtime import mesh as mesh_mod
+
+            lora = mesh_mod.shard_tree(lora, mesh_mod.lora_pspec_tree(lora), self.mesh)
+        # optimizer moments mirror the (already sharded) adapter leaves, so
+        # vmapped init inherits their shardings via GSPMD propagation.
+        opt_state = jax.vmap(self.tx.init)(lora)
+        return lora, opt_state
+
+    def _build_step(self) -> Callable:
+        # Memoize compiled programs on the training hyperparams: repeated
+        # trainers with identical configs (IBP rounds, test suites) must hit
+        # jax's jit cache instead of re-tracing a fresh closure.
+        key = (self.spec, self.lora_spec, self._opt_key, self.use_pallas,
+               self.remat, self.t_max)
+        cached = _STEP_CACHE.get(key)
+        if cached is not None:
+            return cached
+
+        spec, lspec = self.spec, self.lora_spec
+        use_pallas, remat = self.use_pallas, self.remat
+        t_max = self.t_max
+        tx = self.tx
+
+        def one_fold(base, lora, opt_state, tokens, mask, pos):
+            if t_max is None:
+                loss, grads = jax.value_and_grad(sft_loss, argnums=1)(
+                    base, lora, tokens, mask, spec, lspec, use_pallas, remat
+                )
+            else:
+                loss, grads = jax.value_and_grad(sft_loss_window, argnums=1)(
+                    base, lora, tokens, mask, pos, t_max, spec, lspec,
+                    use_pallas, remat
+                )
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            lora = optax.apply_updates(lora, updates)
+            return lora, opt_state, loss
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def step(base, lora_k, opt_k, all_tokens, all_mask, all_pos, idx_kB):
+            tokens = all_tokens[idx_kB]  # [k, B, S] — on-device gather
+            mask = all_mask[idx_kB]
+            pos = all_pos[idx_kB]
+            return jax.vmap(one_fold, in_axes=(None, 0, 0, 0, 0, 0))(
+                base, lora_k, opt_k, tokens, mask, pos
+            )
+
+        _STEP_CACHE[key] = step
+        return step
+
+    def fit(
+        self,
+        base: Params,
+        lora: Params,
+        opt_state,
+        all_tokens: jnp.ndarray,
+        all_mask: jnp.ndarray,
+        batches: np.ndarray,  # [steps, k, B]
+        all_pos: Optional[jnp.ndarray] = None,  # int32 [N]; required if t_max set
+        log_every: int = 10,
+        log_fn: Optional[Callable[[int, float], None]] = None,
+    ) -> Tuple[Params, Any, TrainLog]:
+        if all_pos is None:
+            if self.t_max is not None:
+                raise ValueError("windowed loss (t_max set) needs all_pos")
+            all_pos = jnp.zeros(all_tokens.shape[0], jnp.int32)
+        log = TrainLog()
+        t0 = time.time()
+        pending = []
+        for t in range(batches.shape[0]):
+            lora, opt_state, loss = self._step_fn(
+                base, lora, opt_state, all_tokens, all_mask, all_pos,
+                jnp.asarray(batches[t])
+            )
+            pending.append(loss)
+            if (t + 1) % log_every == 0 or t == batches.shape[0] - 1:
+                fold_loss = np.asarray(pending[-1])  # sync point
+                mean = float(fold_loss.mean())
+                log.losses.append(mean)
+                log.fold_losses.append([float(x) for x in fold_loss])
+                if log_fn:
+                    log_fn(t + 1, mean)
+                pending.clear()
+        # hard sync (block_until_ready may return early under remote PJRT)
+        np.asarray(jax.tree.leaves(lora)[0])
+        log.steps = int(batches.shape[0])
+        log.wall_seconds = time.time() - t0
+        n_samples = int(batches.shape[0]) * int(batches.shape[1]) * int(batches.shape[2])
+        log.samples_per_sec = n_samples / max(log.wall_seconds, 1e-9)
+        return lora, opt_state, log
