@@ -67,7 +67,8 @@ def main() -> None:
         k_eff = K if k_parallel else 1
         trainer = FoldTrainer(spec, lspec, k=k_eff, lr=1e-4,
                               total_steps=STEPS + WARMUP,
-                              use_pallas=False, remat=on_tpu, t_max=t_max)
+                              use_pallas=on_tpu,
+                              remat="dots" if on_tpu else False, t_max=t_max)
         if k_parallel:
             lora, opt = trainer.init_state(jax.random.key(1))
             step_batches = batches

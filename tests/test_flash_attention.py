@@ -1,0 +1,116 @@
+"""Flash-attention kernel parity tests (interpret mode on CPU; SURVEY.md §4.2).
+
+Forward AND gradients vs the dense XLA reference, incl. GQA and rectangular
+shapes. Real-TPU runs are covered by the opt-in @tpu test.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tst.kernels.flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+
+
+def _make_qkv(b=2, s=256, h=4, kvh=2, d=32, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)), dtype) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, s, kvh, d)), dtype) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, s, kvh, d)), dtype) * 0.3
+    return q, k, v
+
+
+class TestForwardParity:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_mha(self, causal):
+        q, k, v = _make_qkv(h=4, kvh=4)
+        out = fa.flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+        ref = fa.mha_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gqa(self):
+        q, k, v = _make_qkv(h=8, kvh=2)
+        out = fa.flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_multi_kv_blocks(self):
+        q, k, v = _make_qkv(s=512)
+        out = fa.flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_single_block(self):
+        q, k, v = _make_qkv(s=128)
+        out = fa.flash_attention(q, k, v, causal=True)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestGradParity:
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_grads_match_reference(self, causal):
+        q, k, v = _make_qkv(b=1, s=256, h=4, kvh=2, d=32)
+
+        def loss_flash(q, k, v):
+            o = fa.flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+            return jnp.sum(o * jnp.cos(o))  # nontrivial downstream fn
+
+        def loss_ref(q, k, v):
+            o = fa.mha_reference(q, k, v, causal=causal)
+            return jnp.sum(o * jnp.cos(o))
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                       err_msg=f"d{name}")
+
+    def test_grads_under_jit_and_vmap(self):
+        """The kernel must survive the trainer's vmap-over-folds + jit."""
+        q, k, v = _make_qkv(b=1, s=128, h=4, kvh=2, d=32)
+        qs = jnp.stack([q, q * 1.1])
+        ks = jnp.stack([k, k])
+        vs = jnp.stack([v, v * 0.9])
+
+        @jax.jit
+        def vloss(qs, ks, vs):
+            def one(q, k, v):
+                return jnp.sum(fa.flash_attention(q, k, v, block_q=128, block_k=128) ** 2)
+
+            return jax.vmap(jax.grad(one))(qs, ks, vs)
+
+        g = vloss(qs, ks, vs)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestModelIntegration:
+    def test_decoder_with_pallas_matches_xla(self):
+        from tst.models.decoder import apply_model, init_params, spec_by_name
+
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        tokens = jnp.arange(256, dtype=jnp.int32)[None, :] % 300
+        ref = apply_model(params, tokens, spec, use_pallas=False)
+        out = apply_model(params, tokens, spec, use_pallas=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.tpu
+class TestOnTPU:
+    def test_forward_parity_tpu(self, monkeypatch):
+        monkeypatch.setattr(fa, "_INTERPRET", False)
+        q, k, v = _make_qkv(b=2, s=512, h=8, kvh=2, d=64, dtype=jnp.bfloat16)
+        out = fa.flash_attention(q, k, v, causal=True)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+        )

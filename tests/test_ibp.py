@@ -1,0 +1,96 @@
+"""IBP pruning math + end-to-end semantics (SURVEY.md §4.1/§4.4)."""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from tst.config import RunConfig
+from tst.data.synthetic import make_synthetic_mcq
+from tst.debias.ibp import prune_mask, run_ibp
+
+
+class TestPruneMask:
+    def test_prunes_top_fraction(self):
+        s = np.array([0.9, 0.1, 0.8, 0.2, 0.5, 0.3, 0.7, 0.4], np.float32)
+        alive = np.ones(8, bool)
+        out = prune_mask(s, alive, prune_rate=0.25, min_keep=2)
+        assert out.sum() == 6
+        assert not out[0] and not out[2]  # two highest s(x) pruned
+
+    def test_never_prunes_nan(self):
+        s = np.array([np.nan, np.nan, 0.1, 0.2], np.float32)
+        out = prune_mask(s, np.ones(4, bool), prune_rate=0.5, min_keep=1)
+        assert out[0] and out[1]
+
+    def test_respects_min_keep(self):
+        s = np.linspace(0, 1, 10).astype(np.float32)
+        out = prune_mask(s, np.ones(10, bool), prune_rate=0.9, min_keep=8)
+        assert out.sum() == 8
+
+    def test_dead_stay_dead(self):
+        s = np.array([0.9, 0.8, 0.1, 0.2], np.float32)
+        alive = np.array([False, True, True, True])
+        out = prune_mask(s, alive, prune_rate=0.34, min_keep=1)
+        assert not out[0]
+        assert out.sum() == 2
+
+    def test_category_balanced(self):
+        # category 0 has the top s(x) everywhere; unbalanced pruning would
+        # remove only category-0 samples
+        s = np.array([0.9, 0.95, 0.85, 0.8, 0.3, 0.2, 0.25, 0.1], np.float32)
+        cats = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+        out = prune_mask(s, np.ones(8, bool), prune_rate=0.5, categories=cats,
+                         min_keep=2)
+        assert out.sum() == 4
+        assert (~out[:4]).sum() == 2 and (~out[4:]).sum() == 2
+
+    def test_zero_budget(self):
+        s = np.array([0.9, 0.1], np.float32)
+        out = prune_mask(s, np.ones(2, bool), prune_rate=0.01, min_keep=1)
+        assert out.all()
+
+
+class TestIBPEndToEnd:
+    """IBP with the RF diagnostic must prune planted-bias samples first and
+    stop once blind accuracy reaches chance (SURVEY.md §4.4)."""
+
+    def _cfg(self, rounds=6, rate=0.15):
+        cfg = RunConfig()
+        cfg.data.k = 3
+        cfg.rf.n_estimators = 40
+        cfg.ibp.rounds = rounds
+        cfg.ibp.prune_rate = rate
+        cfg.ibp.stop_epsilon = 0.04
+        cfg.ibp.diagnostic = "rf"
+        cfg.out_dir = tempfile.mkdtemp()
+        return cfg
+
+    def test_prunes_planted_bias_first(self):
+        ds = make_synthetic_mcq(n=300, bias_fraction=0.4,
+                                bias_kind="longest_option", seed=3)
+        cfg = self._cfg()
+        rep = run_ibp(ds, cfg)
+        assert rep["rounds_run"] >= 2
+        from tst.data.schema import BlindDataset
+
+        removed = BlindDataset.load_jsonl(f"{cfg.out_dir}/removed.jsonl")
+        kept = BlindDataset.load_jsonl(f"{cfg.out_dir}/debiased.jsonl")
+        assert len(removed) + len(kept) == 300
+        planted_removed = np.mean([s.meta["planted_bias"] for s in removed])
+        planted_kept = np.mean([s.meta["planted_bias"] for s in kept])
+        assert planted_removed > 0.7, (planted_removed, rep)
+        assert planted_kept < planted_removed
+
+    def test_debiased_blind_acc_reaches_chance(self):
+        ds = make_synthetic_mcq(n=300, bias_fraction=0.3,
+                                bias_kind="longest_option", seed=5)
+        rep = run_ibp(ds, self._cfg(rounds=8, rate=0.12))
+        assert rep["final_blind_accuracy"] <= rep["final_chance"] + 0.08, rep
+
+    def test_unbiased_stops_immediately(self):
+        ds = make_synthetic_mcq(n=200, bias_fraction=0.0, seed=0)
+        rep = run_ibp(ds, self._cfg())
+        assert rep["stop_reason"] == "blind_acc<=chance+eps"
+        assert rep["rounds_run"] <= 2
+        assert rep["fraction_kept"] >= 0.8

@@ -36,6 +36,9 @@ def _common_flags(p: argparse.ArgumentParser, default_platform: str = "auto") ->
     p.add_argument("--k", type=int, default=None, help="number of folds (shorthand)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--out", default=None, help="output directory (shorthand for out_dir)")
+    p.add_argument("--profile-dir", default=None, help="dump XProf traces here")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax debug_nans mode (the TPU-functional analogue of a sanitizer)")
 
 
 def _resolve(args) -> RunConfig:
@@ -44,7 +47,13 @@ def _resolve(args) -> RunConfig:
 
     select_platform(getattr(args, "platform", None))
     enable_compilation_cache()
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     cfg = config_mod.resolve(args.preset, args.config, args.overrides)
+    if getattr(args, "profile_dir", None):
+        cfg.profile_dir = args.profile_dir
     if args.bench is not None:
         cfg.data.bench = args.bench
     if args.source is not None:

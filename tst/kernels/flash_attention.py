@@ -1,0 +1,365 @@
+"""Pallas TPU flash attention (fwd + bwd), GQA-aware, causal.
+
+SURVEY.md §2b B12: the training hot loop's attention without ever
+materializing the [S, S] probability matrix — the buffer that OOM'd the
+dense-XLA path at Qwen-0.5B batch 16 seq 512 (24.8 GB > 15.75 GB HBM).
+
+Design (per the TPU kernel playbooks):
+  * online softmax with f32 running (m, l) statistics in VMEM scratch;
+  * grid (batch, q_head, q_blocks, kv_blocks) — first three ``parallel``
+    (megacore-friendly), kv ``arbitrary`` (sequential reduction);
+  * causal: whole KV tiles above the diagonal are skipped (`pl.when`),
+    diagonal tiles masked elementwise with -0.7*f32_max (never -inf:
+    exp(-inf - -inf) = NaN);
+  * GQA without expanding K/V in HBM: the K/V BlockSpec index maps divide
+    the q-head grid index by the group size, so each KV head is streamed
+    once per group from HBM;
+  * backward via custom_vjp with two kernels — dKV (iterates Q tiles per KV
+    tile) and dQ (iterates KV tiles per Q tile) — recomputing probabilities
+    from the saved logsumexp, with di = Σ o·do precomputed once;
+  * bwd produces per-q-head dk/dv, group-summed outside the kernel (keeps
+    the kernel free of cross-head reductions).
+
+Layout: [B, H, S, D]. S must divide by the block size (guaranteed: the data
+pipeline pads to 128-multiple buckets). Interpret mode runs the same kernels
+on CPU for parity tests (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _compiler_params(dims):
+    try:
+        return pltpu.CompilerParams(dimension_semantics=dims)
+    except (AttributeError, TypeError):  # older jax naming
+        return pltpu.TPUCompilerParams(dimension_semantics=dims)
+
+
+def _pick_block(s: int, target: int = 512) -> int:
+    return min(s, target) if s % min(s, target) == 0 else 128
+
+
+# ───────────────────────────── forward ─────────────────────────────
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, sm_scale, causal, block_q, block_k, kv_blocks):
+    kv_idx = pl.program_id(3)
+    q_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    run = True
+    if causal:
+        # skip KV tiles fully above the diagonal
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        s = s * sm_scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]  # [bq, 1] f32
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)  # [bq, bk]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        v = v_ref[0, 0]  # [bk, d]
+        pv = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(kv_idx == kv_blocks - 1)
+    def _store():
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        lse_row = m_scr[...][:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37))
+        lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
+
+
+def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    b, h, s, d = q.shape
+    kv_heads = k.shape[1]
+    groups = h // kv_heads
+    kv_s = k.shape[2]
+    grid = (b, h, s // block_q, kv_s // block_k)
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=sm_scale, causal=causal,
+        block_q=block_q, block_k=block_k, kv_blocks=kv_s // block_k,
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            # TPU block constraint: last two dims must be (8k, 128k) —
+            # lse is stored sublane-replicated as [B, H, 8, S]
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 8, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v)
+    return o, lse
+
+
+# ───────────────────────────── backward ─────────────────────────────
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
+                   *, sm_scale, causal, block_q, block_k, kv_blocks):
+    kv_idx = pl.program_id(3)
+    q_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    run = True
+    if causal:
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0][:, None]  # [bq, 1]
+        di = di_ref[0, 0, 0][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)  # normalized probs [bq, bk]
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [bq, bk]
+        ds = p * (dp - di) * sm_scale
+        dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == kv_blocks - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+                    dk_scr, dv_scr, *, sm_scale, causal, block_q, block_k, q_blocks):
+    q_idx = pl.program_id(3)
+    kv_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    run = True
+    if causal:
+        run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0][:, None]
+        di = di_ref[0, 0, 0][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)  # [bq, bk]
+        # dv += p^T @ do
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di) * sm_scale  # [bq, bk]
+        # dk += ds^T @ q
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(q_idx == q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k):
+    b, h, s, d = q.shape
+    kv_heads = k.shape[1]
+    groups = h // kv_heads
+    kv_s = k.shape[2]
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
+    di = jnp.broadcast_to(di[:, :, None, :], (b, h, 8, s))  # sublane-replicated
+
+    # dQ: grid (b, h, q_blocks, kv_blocks), kv sequential
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, block_k=block_k,
+                          kv_blocks=kv_s // block_k),
+        grid=(b, h, s // block_q, kv_s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v, do, lse, di)
+
+    # dK/dV at q-head granularity: grid (b, h, kv_blocks, q_blocks), q sequential
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+                          block_q=block_q, block_k=block_k,
+                          q_blocks=s // block_q),
+        grid=(b, h, kv_s // block_k, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // groups, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // groups, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, kv_s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, kv_s, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v, do, lse, di)
+
+    # group-sum per-q-head dk/dv down to kv heads
+    dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
+    dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv
+
+
+# ───────────────────────────── public API ─────────────────────────────
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, sm_scale, causal, block_q, block_k):
+    o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k)
+    return o
+
+
+def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k):
+    o, lse = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_vjp_bwd(sm_scale, causal, block_q, block_k, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # [B, S, H, D] (model layout)
+    k: jnp.ndarray,  # [B, S, KVH, D]
+    v: jnp.ndarray,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
+) -> jnp.ndarray:
+    """Flash attention over model-layout tensors; returns [B, S, H, D]."""
+    b, s, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(d))
+    bq = block_q or _pick_block(s)
+    bk = block_k or _pick_block(s, 512)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    o = _flash(qt, kt, vt, float(sm_scale), bool(causal), int(bq), int(bk))
+    return o.transpose(0, 2, 1, 3)
+
+
+def mha_reference(q, k, v, causal: bool = True, sm_scale: Optional[float] = None):
+    """Dense XLA reference (same layout) for parity tests."""
+    b, s, h, d = q.shape
+    kv_heads = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(d))
+    groups = h // kv_heads
+    qg = q.reshape(b, s, kv_heads, groups, d)
+    logits = jnp.einsum("bqkgd,bskd->bkgqs", qg, k, preferred_element_type=jnp.float32)
+    logits = logits * sm_scale
+    if causal:
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(mask[None, None, None], logits, -1e30)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bkgqs,bskd->bqkgd", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(b, s, h, d).astype(q.dtype)

@@ -190,7 +190,7 @@ def _dense_attention(q, k, v, causal_mask):
 
 
 def _flash_attention(q, k, v):
-    from tst.kernels.fused_attn_mlp import flash_attention
+    from tst.kernels.flash_attention import flash_attention
 
     return flash_attention(q, k, v, causal=True)
 
@@ -262,7 +262,13 @@ def apply_model(
 
     body = layer_body
     if remat:
-        body = jax.checkpoint(layer_body, prevent_cse=False)
+        # remat=True/"full": save only layer boundaries (max memory savings).
+        # remat="dots": save matmul outputs, recompute elementwise-only ops —
+        # much cheaper backward than full remat, still avoids the big
+        # silu/up-product and norm intermediates.
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if remat == "dots" else None)
+        body = jax.checkpoint(layer_body, prevent_cse=False, policy=policy)
 
     scanned = {"w": params["layers"]}
     if lora is not None:

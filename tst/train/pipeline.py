@@ -117,11 +117,14 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     from tst.aux.log import JsonlLogger
 
     logger = JsonlLogger(cfg.out_dir)
-    lora, opt_state, tlog = trainer.fit(
-        params, lora, opt_state, tokens, loss_mask, batches, all_pos=answer_pos,
-        log_every=cfg.log_every,
-        log_fn=lambda step, loss: logger.log(event="train", step=step, loss=loss),
-    )
+    from tst.aux.profile import trace
+
+    with trace(cfg.profile_dir):
+        lora, opt_state, tlog = trainer.fit(
+            params, lora, opt_state, tokens, loss_mask, batches, all_pos=answer_pos,
+            log_every=cfg.log_every,
+            log_fn=lambda step, loss: logger.log(event="train", step=step, loss=loss),
+        )
 
     probs = score_heldout_mcq(
         params, lora, spec, lspec, tokens, answer_pos, tb.option_token_ids,
