@@ -1,0 +1,100 @@
+"""KV-cache greedy decode parity vs naive full re-forward (SURVEY.md §4.2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tst.data.tokenize import ByteTokenizer
+from tst.models.decode import decode_numeric, greedy_decode
+from tst.models.decoder import apply_model, init_params, spec_by_name
+from tst.models.lora import LoraSpec, init_lora
+
+
+def _naive_greedy(params, tokens, prompt_len, max_new, spec, lora=None, lspec=None):
+    """Reference: re-run the full forward for every generated token."""
+    b, s = tokens.shape
+    buf = np.zeros((b, s + max_new), np.int32)
+    buf[:, :s] = np.asarray(tokens)
+    lens = np.asarray(prompt_len).copy()
+    outs = np.zeros((b, max_new), np.int32)
+    for t in range(max_new):
+        logits = apply_model(params, jnp.asarray(buf), spec, lora=lora, lora_spec=lspec)
+        for i in range(b):
+            nxt = int(jnp.argmax(logits[i, lens[i] - 1]))
+            outs[i, t] = nxt
+            buf[i, lens[i]] = nxt
+            lens[i] += 1
+    return outs
+
+
+class TestGreedyDecode:
+    def test_matches_naive(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        rng = np.random.default_rng(0)
+        b, s = 3, 64
+        tokens = np.full((b, s), 256, np.int32)  # pad id
+        prompt_len = np.array([17, 33, 8], np.int32)
+        for i, L in enumerate(prompt_len):
+            tokens[i, :L] = rng.integers(0, 255, size=L)
+        got = np.asarray(greedy_decode(params, jnp.asarray(tokens),
+                                       jnp.asarray(prompt_len), 6, spec))
+        want = _naive_greedy(params, jnp.asarray(tokens), prompt_len, 6, spec)
+        np.testing.assert_array_equal(got, want)
+
+    def test_with_lora(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=4, dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        lora = init_lora(jax.random.key(1), spec, lspec)
+        for p in lora:
+            lora[p]["b"] = jax.random.normal(jax.random.key(2), lora[p]["b"].shape) * 0.1
+        tokens = np.full((2, 64), 256, np.int32)
+        tokens[0, :20] = np.arange(20) % 250
+        tokens[1, :11] = (np.arange(11) * 7) % 250
+        prompt_len = np.array([20, 11], np.int32)
+        got = np.asarray(greedy_decode(params, jnp.asarray(tokens),
+                                       jnp.asarray(prompt_len), 5, spec,
+                                       lora=lora, lora_spec=lspec))
+        want = _naive_greedy(params, jnp.asarray(tokens), prompt_len, 5, spec,
+                             lora=lora, lspec=lspec)
+        np.testing.assert_array_equal(got, want)
+
+    def test_jit_and_vmap_over_folds(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        loras = [init_lora(jax.random.key(i), spec, lspec) for i in range(2)]
+        for lo in loras:
+            for p in lo:
+                lo[p]["b"] = jax.random.normal(jax.random.key(9), lo[p]["b"].shape) * 0.1
+        lora_k = jax.tree.map(lambda *xs: jnp.stack(xs), *loras)
+        tokens = jnp.asarray(np.tile(np.arange(32, dtype=np.int32) % 250, (2, 1)))
+        plen = jnp.asarray([32, 32], jnp.int32)
+
+        @jax.jit
+        def run(lora_k):
+            return jax.vmap(
+                lambda lo: greedy_decode(params, tokens, plen, 4, spec,
+                                         lora=lo, lora_spec=lspec)
+            )(lora_k)
+
+        out = run(lora_k)
+        assert out.shape == (2, 2, 4)
+        for f in range(2):
+            single = greedy_decode(params, tokens, plen, 4, spec,
+                                   lora=loras[f], lora_spec=lspec)
+            np.testing.assert_array_equal(np.asarray(out[f]), np.asarray(single))
+
+
+class TestNumericParse:
+    def test_parse(self):
+        tok = ByteTokenizer()
+        rows = [tok.encode("12.5 meters"), tok.encode("about 7"), tok.encode("dunno")]
+        m = max(len(r) for r in rows)
+        arr = np.full((3, m), tok.pad_id, np.int32)
+        for i, r in enumerate(rows):
+            arr[i, : len(r)] = r
+        vals = decode_numeric(arr, tok)
+        assert vals[0] == 12.5 and vals[1] == 7.0 and np.isnan(vals[2])

@@ -146,3 +146,33 @@ class TestDiagnosticSemantics:
     def test_unbiased_near_chance(self):
         rep = self._run(bias=0.0)
         assert rep["blind_accuracy"] < rep["chance_accuracy"] + 0.2, rep
+
+    def test_mixed_numeric_pipeline(self):
+        """MCQ + numeric benchmark exercises the greedy-decode scoring leg."""
+        import tempfile
+
+        from tst.data.schema import BlindDataset
+        from tst.data.synthetic import make_synthetic_mcq, make_synthetic_numeric
+        from tst.train.pipeline import run_sft_diagnostic
+
+        mcq = make_synthetic_mcq(n=24, bias_fraction=0.5, bias_kind="position", seed=0)
+        num = make_synthetic_numeric(n=8, seed=0)
+        ds = BlindDataset("mixed", list(mcq) + list(num))
+        cfg = RunConfig()
+        cfg.data.k = 2
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.lora.rank = 2
+        cfg.lora.targets = ("q_proj", "v_proj")
+        cfg.optim.epochs = 1
+        cfg.optim.batch_size = 8
+        cfg.out_dir = tempfile.mkdtemp()
+        rep = run_sft_diagnostic(ds, cfg, return_state=True)
+        assert rep["n_numeric"] == 8
+        assert 0.0 <= rep["numeric_blind_mra"] <= 1.0
+        s_x = rep["_state"]["s_x"]
+        gold_numeric = np.array([s.answer_type == "numeric" for s in ds])
+        # numeric rows must carry a (finite) numeric s(x), MCQ rows a prob s(x)
+        assert np.isfinite(s_x[gold_numeric]).all()
+        assert np.isfinite(s_x[~gold_numeric]).all()

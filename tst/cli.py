@@ -158,6 +158,35 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """Ranking-parity report: our s(x) vs a reference kept-split (and,
+    when available, a reference s(x) vector) — the BASELINE.json metric."""
+    import numpy as np
+
+    from tst.data.schema import BlindDataset
+    from tst.eval.parity import membership_agreement, spearman
+
+    ids, sx = [], []
+    with open(f"{args.run_dir}/sx.jsonl") as f:
+        for line in f:
+            row = json.loads(line)
+            ids.append(row["id"])
+            sx.append(row["s_x"] if row["s_x"] is not None else float("nan"))
+    sx = np.asarray(sx, np.float32)
+    kept = BlindDataset.load_jsonl(args.reference_kept)
+    report = membership_agreement(sx, ids, [s.id for s in kept])
+    if args.reference_sx:
+        ref = {}
+        with open(args.reference_sx) as f:
+            for line in f:
+                row = json.loads(line)
+                ref[row["id"]] = row["s_x"]
+        ref_v = np.asarray([ref.get(i, float("nan")) for i in ids], np.float32)
+        report["spearman"] = round(spearman(sx, ref_v), 4)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tst", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -176,6 +205,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", default=None)
     sp.add_argument("--prune-fraction", type=float, default=None)
     sp.set_defaults(fn=cmd_export)
+    sp = sub.add_parser("compare", help="ranking parity vs a reference artifact")
+    sp.add_argument("run_dir", help="run dir containing sx.jsonl")
+    sp.add_argument("--reference-kept", required=True,
+                    help="jsonl of the reference's kept (debiased) samples")
+    sp.add_argument("--reference-sx", default=None,
+                    help="optional jsonl with a reference s_x column for Spearman")
+    sp.set_defaults(fn=cmd_compare)
     return p
 
 

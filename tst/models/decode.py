@@ -1,0 +1,174 @@
+"""KV-cached greedy decoding for numeric / open answers.
+
+VSI-Bench's numerical-answer question types (object counting, distances,
+room size — scored by MRA) need generated text, not a one-token option read
+(reference README.md:35 benchmark list; SURVEY.md §2b B15 "greedy decode for
+numeric/open answers"). TPU realization:
+
+  * **prefill**: one batched forward over the (bucket-padded) prompt,
+    returning final hidden states + post-RoPE per-layer K/V — the cache;
+  * **decode**: ``lax.scan`` over ``max_new`` steps; each step runs the
+    layer-scan on ONE token, attends over the fixed-size cache with a
+    position mask (static shapes — no recompilation per step), and
+    functionally updates the cache (XLA turns the per-step
+    dynamic_update_slice into an in-place write);
+  * greedy argmax; per-row prompt lengths handled by per-row cache
+    positions. The whole prefill+decode is one jitted program, vmappable
+    over the LoRA fold axis like every other stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tst.models.decoder import (
+    ModelSpec,
+    apply_model,
+    apply_rope,
+    lm_head_weight,
+    rms_norm,
+    rope_tables,
+)
+from tst.models.lora import LoraSpec, apply_lora_delta
+
+
+def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache):
+    """One greedy step. token_b [B] int32; pos_b [B] = cache write position.
+
+    Returns (next_token [B], updated caches). Caches: [L, B, S, KVH, dh].
+    """
+    b = token_b.shape[0]
+    s_max = k_cache.shape[2]
+    x = params["embed"].astype(spec.dtype)[token_b][:, None, :]  # [B,1,D]
+    cos_full, sin_full = rope_tables(s_max, spec.d_head, spec.rope_theta)
+    cos_t = cos_full[pos_b][:, None]  # [B,1,half]
+    sin_t = sin_full[pos_b][:, None]
+
+    def rope_one(t):  # t: [B,1,H,dh] at per-row positions
+        half = t.shape[-1] // 2
+        t1, t2 = t[..., :half], t[..., half:]
+        c = cos_t[:, :, None, :].astype(t.dtype)
+        s = sin_t[:, :, None, :].astype(t.dtype)
+        return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], axis=-1)
+
+    def layer_body(carry, scanned):
+        h_in = carry
+        lw = scanned["w"]
+        la = scanned.get("lora")
+        kc, vc = scanned["kc"], scanned["vc"]  # [B, S, KVH, dh]
+
+        def proj(name, y, w_key):
+            out = jnp.einsum("bsd,df->bsf", y, lw[w_key].astype(spec.dtype),
+                             preferred_element_type=jnp.float32).astype(spec.dtype)
+            if la is not None and name in la:
+                out = out + apply_lora_delta(la[name], y, lora_spec)
+            bias_key = {"q": "bq", "k": "bk", "v": "bv"}.get(name)
+            if bias_key and bias_key in lw:
+                out = out + lw[bias_key].astype(spec.dtype)
+            return out
+
+        h = rms_norm(h_in, lw["attn_norm"], spec.rms_eps)
+        q = rope_one(proj("q", h, "wq").reshape(b, 1, spec.n_heads, spec.d_head))
+        k_new = rope_one(proj("k", h, "wk").reshape(b, 1, spec.n_kv_heads, spec.d_head))
+        v_new = proj("v", h, "wv").reshape(b, 1, spec.n_kv_heads, spec.d_head)
+        # write the new K/V row at each row's position
+        kc = jax.vmap(lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (p, 0, 0)))(
+            kc, k_new, pos_b
+        )
+        vc = jax.vmap(lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (p, 0, 0)))(
+            vc, v_new, pos_b
+        )
+        # attend q (1 token) over the cache, masked to positions <= pos
+        groups = spec.n_heads // spec.n_kv_heads
+        qg = q.reshape(b, spec.n_kv_heads, groups, spec.d_head)
+        scores = jnp.einsum("bkgd,bskd->bkgs", qg, kc,
+                            preferred_element_type=jnp.float32) / np.sqrt(spec.d_head)
+        valid = jnp.arange(s_max)[None, :] <= pos_b[:, None]  # [B, S]
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(spec.dtype)
+        attn = jnp.einsum("bkgs,bskd->bkgd", probs, vc,
+                          preferred_element_type=jnp.float32).astype(spec.dtype)
+        attn = attn.reshape(b, 1, spec.q_dim)
+        h_mid = h_in + proj("o", attn, "wo")
+        h = rms_norm(h_mid, lw["mlp_norm"], spec.rms_eps)
+        gate = proj("gate", h, "w_gate")
+        up = proj("up", h, "w_up")
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up
+        out = h_mid + proj("down", act, "w_down")
+        return out, (kc, vc)
+
+    scanned = {"w": params["layers"], "kc": k_cache, "vc": v_cache}
+    if lora is not None:
+        scanned["lora"] = lora
+    x, (k_cache, v_cache) = jax.lax.scan(layer_body, x, scanned)
+    x = rms_norm(x, params["final_norm"], spec.rms_eps)
+    logits = jnp.einsum("bsd,dv->bsv", x, lm_head_weight(params, spec).astype(spec.dtype),
+                        preferred_element_type=jnp.float32)[:, 0]  # [B, V]
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_cache, v_cache
+
+
+def greedy_decode(
+    params,
+    tokens: jnp.ndarray,  # int32 [B, S] right-padded prompts
+    prompt_len: jnp.ndarray,  # int32 [B]
+    max_new: int,
+    spec: ModelSpec,
+    lora=None,
+    lora_spec: Optional[LoraSpec] = None,
+    use_pallas: bool = False,
+    pad_to: Optional[int] = None,
+) -> jnp.ndarray:
+    """Greedy continuation of each prompt → int32 [B, max_new].
+
+    Cache size = S + max_new (padded to a 128 multiple so the decode
+    attention tiles cleanly).
+    """
+    b, s = tokens.shape
+    s_max = pad_to or (s + max_new + (-(s + max_new)) % 128)
+    h, k_all, v_all = apply_model(params, tokens, spec, lora=lora,
+                                  lora_spec=lora_spec, use_pallas=use_pallas,
+                                  return_kv=True)
+    pad = s_max - s
+    k_cache = jnp.pad(k_all, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    v_cache = jnp.pad(v_all, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    # first generated token: argmax at the last prompt position
+    h_last = jnp.take_along_axis(h, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
+    head = lm_head_weight(params, spec).astype(h.dtype)
+    first = jnp.argmax(
+        jnp.einsum("bd,dv->bv", h_last, head, preferred_element_type=jnp.float32),
+        axis=-1,
+    ).astype(jnp.int32)
+
+    def step(carry, _):
+        token, pos, kc, vc = carry
+        nxt, kc, vc = _decode_step(params, lora, lora_spec, spec, token, pos, kc, vc)
+        return (nxt, pos + 1, kc, vc), token
+
+    (_, _, _, _), out = jax.lax.scan(
+        step, (first, prompt_len, k_cache, v_cache), None, length=max_new
+    )
+    return out.T  # [B, max_new]
+
+
+def decode_numeric(
+    texts_tokens: np.ndarray,  # decoded token ids [B, T]
+    tokenizer,
+) -> np.ndarray:
+    """Parse greedy continuations into float predictions (NaN if unparsable)."""
+    import re
+
+    out = np.full(texts_tokens.shape[0], np.nan, np.float32)
+    for i, ids in enumerate(texts_tokens):
+        text = tokenizer.decode([int(t) for t in ids])
+        m = re.search(r"-?\d+(?:\.\d+)?", text.replace(",", ""))
+        if m:
+            try:
+                out[i] = float(m.group())
+            except ValueError:
+                pass
+    return out

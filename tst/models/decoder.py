@@ -204,6 +204,7 @@ def apply_model(
     use_pallas: bool = False,
     remat: bool = False,
     return_hidden: bool = False,
+    return_kv: bool = False,
 ) -> jnp.ndarray:
     """Forward pass → logits f32 [B, S, V].
 
@@ -215,6 +216,10 @@ def apply_model(
     few positions (answer-token loss, MCQ scoring) project a gathered window
     themselves instead of materializing [B, S, V] f32 (HBM-bandwidth win;
     the vocab matmul is the single largest activation in the program).
+
+    ``return_kv=True`` additionally returns the post-RoPE per-layer K/V
+    ([L, B, S, KVH, dh] each) — the prefill leg of KV-cached greedy decoding
+    (tst.models.decode, for numeric/open answers).
     """
     b, s = tokens.shape
     x = params["embed"].astype(spec.dtype)[tokens]  # [B, S, D]
@@ -258,7 +263,8 @@ def apply_model(
         up = proj("up", h, "w_up")
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up
         down = proj("down", act, "w_down")
-        return h_mid + down, None
+        ys = (k, v) if return_kv else None
+        return h_mid + down, ys
 
     body = layer_body
     if remat:
@@ -273,9 +279,11 @@ def apply_model(
     scanned = {"w": params["layers"]}
     if lora is not None:
         scanned["lora"] = lora
-    x, _ = jax.lax.scan(body, x, scanned)
+    x, kv = jax.lax.scan(body, x, scanned)
 
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
+    if return_kv:
+        return x, kv[0], kv[1]
     if return_hidden:
         return x
     logits = jnp.einsum("bsd,dv->bsv", x, lm_head_weight(params, spec).astype(spec.dtype),

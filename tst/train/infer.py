@@ -117,9 +117,12 @@ def letter_probs(
         nopt = n_options[rows]  # [r]
         mask = np.arange(c)[None, :] < nopt[:, None]
         x = np.where(mask, x, -np.inf)
-        x = x - x.max(-1, keepdims=True)
-        e = np.exp(x)
-        probs[rows] = e / e.sum(-1, keepdims=True)
+        # non-MCQ rows (nopt == 0) have no valid options: leave probs at 0
+        finite = nopt > 0
+        x = x - np.where(finite, x.max(-1, where=mask, initial=-1e30), 0.0)[:, None]
+        e = np.where(mask, np.exp(x), 0.0)
+        denom = e.sum(-1, keepdims=True)
+        probs[rows] = np.where(finite[:, None], e / np.maximum(denom, 1e-30), 0.0)
     return probs
 
 
@@ -142,6 +145,70 @@ def score_heldout_mcq(
     scorer = make_mcq_scorer(spec, lora_spec, use_pallas, batch)
     ll = scorer(base, lora_k, tokens, answer_pos, jnp.asarray(option_ids), jnp.asarray(idx))
     return letter_probs(np.asarray(ll), n_options, idx, valid, tokens.shape[0])
+
+
+def score_heldout_numeric(
+    base,
+    lora_k,
+    spec: ModelSpec,
+    lora_spec: Optional[LoraSpec],
+    tokens: jnp.ndarray,
+    answer_pos: jnp.ndarray,  # last prompt token index
+    gold_values: np.ndarray,  # [N] float, NaN for non-numeric rows
+    fold_id: np.ndarray,
+    k: int,
+    tokenizer=None,
+    max_new: int = 12,
+    use_pallas: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy-decode numeric answers with each row's held-out fold model.
+
+    Returns (pred_values [N] float NaN-padded, per_sample_mra [N]).
+    Per-sample MRA (the VSI-Bench numeric metric applied per sample) doubles
+    as the numeric bias score s(x): high = the blind model reproduces the
+    gold number — a non-visual shortcut (reference README.md:35).
+    """
+    from tst.eval.metrics import MRA_THRESHOLDS
+    from tst.models.decode import decode_numeric, greedy_decode
+
+    n = tokens.shape[0]
+    numeric_rows = np.flatnonzero(np.isfinite(gold_values))
+    pred = np.full(n, np.nan, np.float32)
+    s_num = np.full(n, np.nan, np.float32)
+    if len(numeric_rows) == 0:
+        return pred, s_num
+    # pad each fold's numeric held-out rows to a common grid
+    rows_by_fold = [numeric_rows[fold_id[numeric_rows] == f] for f in range(k)]
+    m = max(max((len(r) for r in rows_by_fold), default=1), 1)
+    idx = np.zeros((k, m), np.int32)
+    valid = np.zeros((k, m), bool)
+    for f, r in enumerate(rows_by_fold):
+        idx[f, : len(r)] = r
+        valid[f, : len(r)] = True
+
+    prompt_len = answer_pos + 1  # decode continues right after the marker
+
+    def per_fold(lora, idx_f):
+        return greedy_decode(
+            base, tokens[idx_f], prompt_len[idx_f], max_new, spec,
+            lora=lora, lora_spec=lora_spec, use_pallas=use_pallas,
+        )
+
+    if lora_k is None:
+        gen = jax.jit(jax.vmap(lambda i: per_fold(None, i)))(jnp.asarray(idx))
+    else:
+        gen = jax.jit(jax.vmap(per_fold))(lora_k, jnp.asarray(idx))
+    gen = np.asarray(gen)  # [k, M, max_new]
+    for f in range(k):
+        rows = idx[f][valid[f]]
+        vals = decode_numeric(gen[f][valid[f]], tokenizer)
+        pred[rows] = vals
+        rel = np.abs(vals - gold_values[rows]) / np.maximum(np.abs(gold_values[rows]), 1e-9)
+        rel = np.where(np.isnan(vals), np.inf, rel)
+        s_num[rows] = np.mean(
+            [(rel < (1.0 - th)).astype(np.float32) for th in MRA_THRESHOLDS], axis=0
+        )
+    return pred, s_num
 
 
 def score_all_mcq(

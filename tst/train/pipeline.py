@@ -23,7 +23,7 @@ from tst.eval import metrics
 from tst.models.decoder import ModelSpec, init_params, spec_by_name
 from tst.models.lora import LoraSpec
 from tst.runtime import mesh as mesh_mod
-from tst.train.infer import score_heldout_mcq, score_all_mcq
+from tst.train.infer import score_all_mcq, score_heldout_mcq, score_heldout_numeric
 from tst.train.sft import FoldTrainer, make_fold_batches
 
 
@@ -124,16 +124,32 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
             params, lora, opt_state, tokens, loss_mask, batches, all_pos=answer_pos,
             log_every=cfg.log_every,
             log_fn=lambda step, loss: logger.log(event="train", step=step, loss=loss),
+            checkpoint_dir=cfg.checkpoint_dir,
         )
 
+    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
     probs = score_heldout_mcq(
         params, lora, spec, lspec, tokens, answer_pos, tb.option_token_ids,
-        tb.n_options, fold_id, k,
-        use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
+        tb.n_options, fold_id, k, use_pallas=on_tpu,
     )
     s_x = bias_scores(probs, tb.gold, tb.n_options, rule=cfg.rf.score_rule)
     pred = probs.argmax(-1).astype(np.int32)
     is_mcq = tb.gold >= 0
+
+    # numeric (NA) samples: held-out greedy decode → per-sample MRA as s(x)
+    gold_values = np.array(
+        [s.answer_value if s.answer_type == "numeric" else np.nan for s in ds],
+        np.float32,
+    )
+    numeric_mra = None
+    if np.isfinite(gold_values).any():
+        pred_values, s_num = score_heldout_numeric(
+            params, lora, spec, lspec, tokens, answer_pos, gold_values,
+            fold_id, k, tokenizer=tokenizer, use_pallas=on_tpu,
+        )
+        s_x = np.where(np.isfinite(s_num), s_num, s_x)
+        numeric_mra = float(metrics.mra(np.nan_to_num(pred_values), gold_values))
+
     blind_acc = float(metrics.accuracy(pred, tb.gold))
     chance = float(metrics.chance_accuracy(tb.n_options))
     fold_accs = [
@@ -141,6 +157,9 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         for f in range(k)
     ]
     report = metrics.blind_report(blind_acc, chance, name=ds.name)
+    if numeric_mra is not None:
+        report["numeric_blind_mra"] = numeric_mra
+        report["n_numeric"] = int(np.isfinite(gold_values).sum())
     report.update(
         n_samples=len(ds),
         n_mcq=int(is_mcq.sum()),

@@ -254,15 +254,28 @@ class FoldTrainer:
         all_pos: Optional[jnp.ndarray] = None,  # int32 [N]; required if t_max set
         log_every: int = 10,
         log_fn: Optional[Callable[[int, float], None]] = None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 50,
+        fail_after_step: Optional[int] = None,  # fault injection for resume tests
     ) -> Tuple[Params, Any, TrainLog]:
         if all_pos is None:
             if self.t_max is not None:
                 raise ValueError("windowed loss (t_max set) needs all_pos")
             all_pos = jnp.zeros(all_tokens.shape[0], jnp.int32)
+        start_step = 0
+        if checkpoint_dir is not None:
+            from tst.aux import ckpt as ckpt_mod
+            import os
+
+            if os.path.exists(os.path.join(checkpoint_dir, "extra.json")):
+                lora, opt_state, extra = ckpt_mod.load_train_state(
+                    checkpoint_dir, lora, opt_state
+                )
+                start_step = int((extra or {}).get("step", 0))
         log = TrainLog()
         t0 = time.time()
         pending = []
-        for t in range(batches.shape[0]):
+        for t in range(start_step, batches.shape[0]):
             lora, opt_state, loss = self._step_fn(
                 base, lora, opt_state, all_tokens, all_mask, all_pos,
                 jnp.asarray(batches[t])
@@ -276,8 +289,20 @@ class FoldTrainer:
                 if log_fn:
                     log_fn(t + 1, mean)
                 pending.clear()
+            if checkpoint_dir is not None and (t + 1) % checkpoint_every == 0:
+                from tst.aux import ckpt as ckpt_mod
+
+                ckpt_mod.save_train_state(checkpoint_dir, lora, opt_state,
+                                          extra={"step": t + 1})
+            if fail_after_step is not None and t + 1 >= fail_after_step:
+                raise RuntimeError(f"injected failure after step {t + 1}")
         # hard sync (block_until_ready may return early under remote PJRT)
         np.asarray(jax.tree.leaves(lora)[0])
+        if checkpoint_dir is not None:
+            from tst.aux import ckpt as ckpt_mod
+
+            ckpt_mod.save_train_state(checkpoint_dir, lora, opt_state,
+                                      extra={"step": int(batches.shape[0])})
         log.steps = int(batches.shape[0])
         log.wall_seconds = time.time() - t0
         n_samples = int(batches.shape[0]) * int(batches.shape[1]) * int(batches.shape[2])
