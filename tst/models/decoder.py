@@ -205,6 +205,7 @@ def apply_model(
     remat: bool = False,
     return_hidden: bool = False,
     return_kv: bool = False,
+    fused_mlp: bool = False,
 ) -> jnp.ndarray:
     """Forward pass → logits f32 [B, S, V].
 
@@ -257,12 +258,24 @@ def apply_model(
         attn = attn.reshape(b, s, spec.q_dim)
         o = proj("o", attn, "wo")
         h_mid = h_in + o
-        # MLP (SwiGLU)
+        # MLP (SwiGLU). The fused Pallas kernel applies only when no LoRA
+        # adapter targets the MLP (adapters on gate/up change the hidden
+        # nonlinearly and cannot be added post hoc); qkvo-only LoRA — the
+        # default — takes the fused path.
         h = rms_norm(h_mid, lw["mlp_norm"], spec.rms_eps)
-        gate = proj("gate", h, "w_gate")
-        up = proj("up", h, "w_up")
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up
-        down = proj("down", act, "w_down")
+        mlp_lora = la is not None and any(t in la for t in ("gate", "up", "down"))
+        if use_pallas is True and fused_mlp and not mlp_lora:
+            from tst.kernels.fused_mlp import fused_swiglu_mlp
+
+            down = fused_swiglu_mlp(
+                h, lw["w_gate"].astype(spec.dtype), lw["w_up"].astype(spec.dtype),
+                lw["w_down"].astype(spec.dtype),
+            )
+        else:
+            gate = proj("gate", h, "w_gate")
+            up = proj("up", h, "w_up")
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up
+            down = proj("down", act, "w_down")
         ys = (k, v) if return_kv else None
         return h_mid + down, ys
 

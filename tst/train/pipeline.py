@@ -70,6 +70,20 @@ def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[s
     return spec, params
 
 
+def _merge_logs(a, b):
+    """Concatenate per-epoch TrainLogs into one run-level log."""
+    if a is None:
+        return b
+    a.losses += b.losses
+    a.fold_losses += b.fold_losses
+    a.steps += b.steps
+    a.wall_seconds += b.wall_seconds
+    total_samples = (a.samples_per_sec * (a.wall_seconds - b.wall_seconds)
+                     + b.samples_per_sec * b.wall_seconds)
+    a.samples_per_sec = total_samples / max(a.wall_seconds, 1e-9)
+    return a
+
+
 def _device_data(tb: TokenBatch, mesh=None):
     """Dataset arrays → device (replicated: every fold/chip gathers rows)."""
     kw = {}
@@ -119,19 +133,42 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     logger = JsonlLogger(cfg.out_dir)
     from tst.aux.profile import trace
 
-    with trace(cfg.profile_dir):
-        lora, opt_state, tlog = trainer.fit(
-            params, lora, opt_state, tokens, loss_mask, batches, all_pos=answer_pos,
-            log_every=cfg.log_every,
-            log_fn=lambda step, loss: logger.log(event="train", step=step, loss=loss),
-            checkpoint_dir=cfg.checkpoint_dir,
+    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
+
+    def score_now(lora_now):
+        return score_heldout_mcq(
+            params, lora_now, spec, lspec, tokens, answer_pos,
+            tb.option_token_ids, tb.n_options, fold_id, k, use_pallas=on_tpu,
         )
 
-    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
-    probs = score_heldout_mcq(
-        params, lora, spec, lspec, tokens, answer_pos, tb.option_token_ids,
-        tb.n_options, fold_id, k, use_pallas=on_tpu,
-    )
+    # s(x) aggregation over epochs (paper: scores averaged over training
+    # snapshots for stability; pluggable — SURVEY.md §7 hard part 3). The
+    # final epoch is always scored; cfg.optim.score_epochs adds earlier ones.
+    score_after = {int(e) for e in cfg.optim.score_epochs if 1 <= int(e) < cfg.optim.epochs}
+    epoch_probs = []
+    steps_per_epoch = max(batches.shape[0] // max(cfg.optim.epochs, 1), 1)
+    with trace(cfg.profile_dir):
+        tlog = None
+        for e in range(cfg.optim.epochs):
+            chunk = batches[e * steps_per_epoch: (e + 1) * steps_per_epoch]
+            if e == cfg.optim.epochs - 1:  # last epoch takes any remainder
+                chunk = batches[e * steps_per_epoch:]
+            if chunk.shape[0] == 0:
+                continue
+            lora, opt_state, elog = trainer.fit(
+                params, lora, opt_state, tokens, loss_mask, chunk,
+                all_pos=answer_pos, log_every=cfg.log_every,
+                log_fn=lambda step, loss: logger.log(
+                    event="train", epoch=e, step=step, loss=loss),
+                checkpoint_dir=(f"{cfg.checkpoint_dir}/epoch_{e:03d}"
+                                if cfg.checkpoint_dir else None),
+            )
+            tlog = _merge_logs(tlog, elog)
+            if (e + 1) in score_after:
+                epoch_probs.append(score_now(lora))
+
+    epoch_probs.append(score_now(lora))
+    probs = np.mean(epoch_probs, axis=0) if len(epoch_probs) > 1 else epoch_probs[0]
     s_x = bias_scores(probs, tb.gold, tb.n_options, rule=cfg.rf.score_rule)
     pred = probs.argmax(-1).astype(np.int32)
     is_mcq = tb.gold >= 0
