@@ -66,6 +66,21 @@ class TestCLI:
         assert len(rows) == 120
         assert all(0.0 <= r["s_x"] <= 1.0 for r in rows)
 
+    def test_eval_blind_end_to_end(self, tmp_path, capsys):
+        out = str(tmp_path / "blind")
+        rc = main([
+            "eval-blind", "--platform", "cpu", "--bench", "synthetic:0.0",
+            "--set", "data.n=24", "--set", "model.name=tiny",
+            "--set", "model.dtype=float32", "--set", "model.use_pallas=false",
+            "--out", out,
+        ])
+        assert rc == 0
+        report = json.loads(capsys.readouterr().out)
+        assert report["zero_shot"] is True
+        # an untrained random model must sit near chance
+        assert abs(report["blind_accuracy"] - report["chance_accuracy"]) < 0.25
+        assert os.path.exists(os.path.join(out, "blind_eval.json"))
+
     def test_export_prune(self, tmp_path, capsys):
         out = str(tmp_path / "run")
         main(["diagnose-rf", "--bench", "synthetic:0.5", "--k", "3",
