@@ -147,6 +147,34 @@ class TestDiagnosticSemantics:
         rep = self._run(bias=0.0)
         assert rep["blind_accuracy"] < rep["chance_accuracy"] + 0.2, rep
 
+    def test_multiseed_multiepoch_aggregation(self):
+        """n_seeds × score_epochs snapshots all average into s(x)."""
+        import tempfile
+
+        from tst.data.synthetic import make_synthetic_mcq
+        from tst.train.pipeline import run_sft_diagnostic
+
+        cfg = RunConfig()
+        cfg.data.k = 2
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.lora.rank = 2
+        cfg.lora.targets = ("q_proj",)
+        cfg.optim.epochs = 2
+        cfg.optim.score_epochs = (1,)
+        cfg.optim.n_seeds = 2
+        cfg.optim.batch_size = 8
+        cfg.out_dir = tempfile.mkdtemp()
+        ds = make_synthetic_mcq(n=32, bias_fraction=1.0, bias_kind="position", seed=0)
+        rep = run_sft_diagnostic(ds, cfg, return_state=True)
+        s_x = rep["_state"]["s_x"]
+        assert np.isfinite(s_x).all()
+        # 2 seeds x (epoch-1 snapshot + final) = 4 prob sets averaged; probs
+        # remain a distribution per sample
+        probs = rep["_state"]["probs"]
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
     def test_mixed_numeric_pipeline(self):
         """MCQ + numeric benchmark exercises the greedy-decode scoring leg."""
         import tempfile

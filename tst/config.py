@@ -40,7 +40,9 @@ class ModelConfig:
     dtype: str = "bfloat16"
     tokenizer: str = "byte"  # "byte" | path to HF tokenizer
     use_pallas: bool = True  # fused kernels on TPU; XLA fallback otherwise
-    remat: bool = False  # jax.checkpoint per layer (8B training memory)
+    remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
+    quantize: str = "none"  # "none" | "int8" — weights-only base quantization
+    # (int8 halves base HBM: Llama-3-8B fits a single 16 GB v5e chip)
 
 
 @dataclasses.dataclass
@@ -61,6 +63,7 @@ class OptimConfig:
     b1: float = 0.9
     b2: float = 0.999
     score_epochs: Tuple[int, ...] = ()  # extra epochs whose heldout probs average into s(x); () = final only
+    n_seeds: int = 1  # independent SFT restarts averaged into s(x) (epochs/seeds aggregation)
 
 
 @dataclasses.dataclass

@@ -28,6 +28,7 @@ import numpy as np
 
 from tst.models.decoder import (
     ModelSpec,
+    _w,
     apply_model,
     apply_rope,
     lm_head_weight,
@@ -44,7 +45,11 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
     """
     b = token_b.shape[0]
     s_max = k_cache.shape[2]
-    x = params["embed"].astype(spec.dtype)[token_b][:, None, :]  # [B,1,D]
+    embed = params["embed"]
+    if isinstance(embed, dict):  # int8-quantized embed (tst.models.quant)
+        x = (embed["q"][token_b].astype(jnp.float32) * embed["scale"][0]).astype(spec.dtype)[:, None, :]
+    else:
+        x = embed.astype(spec.dtype)[token_b][:, None, :]  # [B,1,D]
     cos_full, sin_full = rope_tables(s_max, spec.d_head, spec.rope_theta)
     cos_t = cos_full[pos_b][:, None]  # [B,1,half]
     sin_t = sin_full[pos_b][:, None]
@@ -63,7 +68,7 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
         kc, vc = scanned["kc"], scanned["vc"]  # [B, S, KVH, dh]
 
         def proj(name, y, w_key):
-            out = jnp.einsum("bsd,df->bsf", y, lw[w_key].astype(spec.dtype),
+            out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
                              preferred_element_type=jnp.float32).astype(spec.dtype)
             if la is not None and name in la:
                 out = out + apply_lora_delta(la[name], y, lora_spec)

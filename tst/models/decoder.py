@@ -112,8 +112,12 @@ PARAM_AXES: Dict[str, tuple] = {
 }
 
 
-def init_params(rng: jax.Array, spec: ModelSpec) -> Params:
-    """Random init (scaled normal), used for tests and as the load target."""
+def init_params(rng: jax.Array, spec: ModelSpec, quantize: bool = False) -> Params:
+    """Random init (scaled normal), used for tests and as the load target.
+
+    ``quantize=True`` converts each big matrix to int8 the moment it is
+    created, so the full-precision tree never exists at once (an 8B bf16
+    tree alone exceeds a single v5e's HBM)."""
     k_embed, k_layers, k_head = jax.random.split(rng, 3)
     d, L = spec.d_model, spec.n_layers
     dt = spec.dtype
@@ -122,7 +126,26 @@ def init_params(rng: jax.Array, spec: ModelSpec) -> Params:
         return jnp.ones(shape, dt)
 
     def dense(key, shape, fan_in):
-        return (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dt)
+        if not quantize:
+            return (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dt)
+        # quantized init: generate + quantize layer-by-layer so neither the
+        # f32 RNG transient nor a full-precision stack ever materializes
+        from tst.models.quant import quantize_leaf
+
+        if len(shape) == 3:
+            parts = [
+                quantize_leaf(
+                    (jax.random.normal(k, shape[1:], jnp.float32) / np.sqrt(fan_in)).astype(dt)
+                )
+                for k in jax.random.split(key, shape[0])
+            ]
+            return {
+                "q": jnp.stack([p["q"] for p in parts]),
+                "scale": jnp.stack([p["scale"] for p in parts]),
+            }
+        return quantize_leaf(
+            (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dt)
+        )
 
     ks = jax.random.split(k_layers, 7)
     layers = {
@@ -223,7 +246,13 @@ def apply_model(
     (tst.models.decode, for numeric/open answers).
     """
     b, s = tokens.shape
-    x = params["embed"].astype(spec.dtype)[tokens]  # [B, S, D]
+    embed = params["embed"]
+    if _is_q(embed):
+        # int8 embed: gather int8 rows, then dequantize just the gathered rows
+        x = embed["q"][tokens].astype(jnp.float32) * embed["scale"][0]
+        x = x.astype(spec.dtype)
+    else:
+        x = embed.astype(spec.dtype)[tokens]  # [B, S, D]
     cos, sin = rope_tables(s, spec.d_head, spec.rope_theta)
     causal = jnp.tril(jnp.ones((s, s), bool))
 
@@ -235,7 +264,7 @@ def apply_model(
         la = scanned.get("lora")
 
         def proj(name, y, w_key):
-            out = jnp.einsum("bsd,df->bsf", y, lw[w_key].astype(spec.dtype),
+            out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
                              preferred_element_type=jnp.float32).astype(spec.dtype)
             if la is not None and name in la:
                 out = out + apply_lora_delta(la[name], y, lora_spec)
@@ -268,8 +297,8 @@ def apply_model(
             from tst.kernels.fused_mlp import fused_swiglu_mlp
 
             down = fused_swiglu_mlp(
-                h, lw["w_gate"].astype(spec.dtype), lw["w_up"].astype(spec.dtype),
-                lw["w_down"].astype(spec.dtype),
+                h, _w(lw["w_gate"], spec.dtype), _w(lw["w_up"], spec.dtype),
+                _w(lw["w_down"], spec.dtype),
             )
         else:
             gate = proj("gate", h, "w_gate")
@@ -304,9 +333,26 @@ def apply_model(
     return logits
 
 
+def _is_q(leaf) -> bool:
+    return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
+
+
+def _w(leaf, dtype) -> jnp.ndarray:
+    """Materialize a (possibly int8-quantized) weight in the working dtype.
+
+    For quantized leaves the dequant multiply fuses into the consuming
+    matmul's prologue — no persistent bf16 copy (tst.models.quant)."""
+    if _is_q(leaf):
+        return (leaf["q"].astype(jnp.float32) * leaf["scale"]).astype(dtype)
+    return leaf.astype(dtype)
+
+
 def lm_head_weight(params: Params, spec: ModelSpec) -> jnp.ndarray:
     """[D, V] vocabulary projection (embed transpose when tied)."""
-    return params["embed"].T if spec.tie_embeddings else params["lm_head"]
+    if spec.tie_embeddings:
+        embed = params["embed"]
+        return _w(embed, spec.dtype).T if _is_q(embed) else embed.T
+    return _w(params["lm_head"], spec.dtype) if _is_q(params["lm_head"]) else params["lm_head"]
 
 
 def param_count(params: Params) -> int:

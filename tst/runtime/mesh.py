@@ -106,6 +106,12 @@ def param_pspec_tree(params) -> Any:
 
     def walk(node, path):
         if isinstance(node, dict):
+            if "q" in node and "scale" in node:  # int8-quantized leaf
+                wspec = base_param_pspec(path)
+                # scale is [*, 1, out] (keepdims over the input axis): shard
+                # only the out axis, like the weight's last axis
+                sspec = P(*([None] * (len(wspec) - 1) + [wspec[-1]]))
+                return {"q": wspec, "scale": sspec}
             return {k: walk(v, f"{path}.{k}" if path else k) for k, v in node.items()}
         return base_param_pspec(path)
 

@@ -67,6 +67,14 @@ def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[s
         params = init_params(jax.random.key(cfg.data.seed), spec)
         if mesh is not None:
             params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
+    if cfg.model.quantize == "int8":
+        from tst.models.quant import quantize_params
+
+        params = quantize_params(params)
+        if mesh is not None:  # re-place quantized leaves with their shardings
+            params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
+    elif cfg.model.quantize != "none":
+        raise ValueError(f"unknown model.quantize {cfg.model.quantize!r}")
     return spec, params
 
 
@@ -141,33 +149,43 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
             tb.option_token_ids, tb.n_options, fold_id, k, use_pallas=on_tpu,
         )
 
-    # s(x) aggregation over epochs (paper: scores averaged over training
-    # snapshots for stability; pluggable — SURVEY.md §7 hard part 3). The
-    # final epoch is always scored; cfg.optim.score_epochs adds earlier ones.
+    # s(x) aggregation over epochs AND independent seed restarts (paper:
+    # scores averaged over training snapshots/seeds for stability; pluggable
+    # — SURVEY.md §7 hard part 3). The final epoch of every seed is always
+    # scored; cfg.optim.score_epochs adds earlier snapshots.
     score_after = {int(e) for e in cfg.optim.score_epochs if 1 <= int(e) < cfg.optim.epochs}
     epoch_probs = []
     steps_per_epoch = max(batches.shape[0] // max(cfg.optim.epochs, 1), 1)
+    n_seeds = max(int(cfg.optim.n_seeds), 1)
     with trace(cfg.profile_dir):
         tlog = None
-        for e in range(cfg.optim.epochs):
-            chunk = batches[e * steps_per_epoch: (e + 1) * steps_per_epoch]
-            if e == cfg.optim.epochs - 1:  # last epoch takes any remainder
-                chunk = batches[e * steps_per_epoch:]
-            if chunk.shape[0] == 0:
-                continue
-            lora, opt_state, elog = trainer.fit(
-                params, lora, opt_state, tokens, loss_mask, chunk,
-                all_pos=answer_pos, log_every=cfg.log_every,
-                log_fn=lambda step, loss: logger.log(
-                    event="train", epoch=e, step=step, loss=loss),
-                checkpoint_dir=(f"{cfg.checkpoint_dir}/epoch_{e:03d}"
-                                if cfg.checkpoint_dir else None),
-            )
-            tlog = _merge_logs(tlog, elog)
-            if (e + 1) in score_after:
-                epoch_probs.append(score_now(lora))
+        for s_i in range(n_seeds):
+            if s_i > 0:  # fresh adapters + fresh batch order, same folds
+                lora, opt_state = trainer.init_state(
+                    jax.random.key(cfg.data.seed + 1 + 7919 * s_i))
+                batches = make_fold_batches(
+                    fold_id, k, cfg.optim.batch_size, cfg.optim.epochs,
+                    cfg.data.seed + s_i, batch_multiple=cfg.mesh.data,
+                )
+            for e in range(cfg.optim.epochs):
+                chunk = batches[e * steps_per_epoch: (e + 1) * steps_per_epoch]
+                if e == cfg.optim.epochs - 1:  # last epoch takes any remainder
+                    chunk = batches[e * steps_per_epoch:]
+                if chunk.shape[0] == 0:
+                    continue
+                lora, opt_state, elog = trainer.fit(
+                    params, lora, opt_state, tokens, loss_mask, chunk,
+                    all_pos=answer_pos, log_every=cfg.log_every,
+                    log_fn=lambda step, loss: logger.log(
+                        event="train", seed=s_i, epoch=e, step=step, loss=loss),
+                    checkpoint_dir=(f"{cfg.checkpoint_dir}/seed_{s_i}_epoch_{e:03d}"
+                                    if cfg.checkpoint_dir else None),
+                )
+                tlog = _merge_logs(tlog, elog)
+                if (e + 1) in score_after:
+                    epoch_probs.append(score_now(lora))
+            epoch_probs.append(score_now(lora))
 
-    epoch_probs.append(score_now(lora))
     probs = np.mean(epoch_probs, axis=0) if len(epoch_probs) > 1 else epoch_probs[0]
     s_x = bias_scores(probs, tb.gold, tb.n_options, rule=cfg.rf.score_rule)
     pred = probs.argmax(-1).astype(np.int32)
@@ -193,7 +211,18 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         float(metrics.accuracy(pred[fold_id == f], tb.gold[fold_id == f]))
         for f in range(k)
     ]
+    # per-category shortcut breakdown (interpretable auditing,
+    # reference README.md:35)
+    cat_names = ds.categories
+    cat_ids = np.array([cat_names.index(s.category) for s in ds])
+    cat_acc = np.asarray(metrics.per_category_accuracy(
+        pred, tb.gold, cat_ids, len(cat_names)))
+    per_category = {
+        c: round(float(a), 4) for c, a in zip(cat_names, cat_acc) if np.isfinite(a)
+    }
+
     report = metrics.blind_report(blind_acc, chance, name=ds.name)
+    report["per_category_blind_accuracy"] = per_category
     if numeric_mra is not None:
         report["numeric_blind_mra"] = numeric_mra
         report["n_numeric"] = int(np.isfinite(gold_values).sum())
