@@ -23,8 +23,12 @@ pytestmark = pytest.mark.skipif(
 class TestMeshConstruction:
     def test_axes(self):
         mesh = mesh_mod.make_mesh(fold=2, data=2, tensor=2)
-        assert mesh.axis_names == ("fold", "data", "tensor")
-        assert mesh.devices.shape == (2, 2, 2)
+        assert mesh.axis_names == ("fold", "data", "seq", "tensor")
+        assert mesh.devices.shape == (2, 2, 1, 2)
+
+    def test_seq_axis(self):
+        mesh = mesh_mod.make_mesh(fold=1, data=2, tensor=2, seq=2)
+        assert mesh.shape["seq"] == 2
 
     def test_too_many(self):
         with pytest.raises(ValueError):
@@ -93,6 +97,33 @@ class TestShardedTraining:
         log_8, probs_8 = self._train(mesh=mesh)
         np.testing.assert_allclose(log_1.losses, log_8.losses, rtol=2e-3)
         np.testing.assert_allclose(probs_1, probs_8, atol=2e-3)
+
+    def test_ring_training_matches_dense(self):
+        """Sequence-parallel (ring attention) training == dense numerics."""
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=2, alpha=4.0, dtype=jnp.float32)
+        ds = make_synthetic_mcq(n=24, bias_fraction=0.5, seed=2)
+        tb = tokenize_dataset(ds, ByteTokenizer(), max_len=512)
+        fid = kfold_assign(ds, 2, seed=0)
+        batches = make_fold_batches(fid, 2, batch_size=4, epochs=1, seed=0)[:3]
+        params = init_params(jax.random.key(0), spec)
+        tokens = jnp.asarray(tb.tokens)
+        mask = jnp.asarray(tb.loss_mask)
+        pos = jnp.asarray(tb.answer_pos)
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+
+        def train(mesh, ring):
+            tr = FoldTrainer(spec, lspec, k=2, lr=1e-3, total_steps=3,
+                             mesh=mesh, t_max=t_max, ring=ring)
+            lora, opt = tr.init_state(jax.random.key(5))
+            lora, _, log = tr.fit(params, lora, opt, tokens, mask, batches,
+                                  all_pos=pos, log_every=1)
+            return log.losses
+
+        dense_losses = train(mesh=None, ring=False)
+        mesh = mesh_mod.make_mesh(fold=2, data=1, seq=4, tensor=1)
+        ring_losses = train(mesh=mesh, ring=True)
+        np.testing.assert_allclose(dense_losses, ring_losses, rtol=2e-3)
 
     def test_fold_parallel_matches_fold_sequential(self):
         """vmapped fold axis == training each fold as its own program."""

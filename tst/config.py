@@ -70,6 +70,7 @@ class OptimConfig:
 class MeshConfig:
     fold: int = 1  # fold-parallel axis (vmapped LoRA states)
     data: int = 1  # DP/FSDP axis
+    seq: int = 1  # sequence-parallel axis (ring attention, long transcripts)
     tensor: int = 1  # TP axis (innermost, fastest ICI ring)
 
 

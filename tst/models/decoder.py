@@ -229,6 +229,8 @@ def apply_model(
     return_hidden: bool = False,
     return_kv: bool = False,
     fused_mlp: bool = False,
+    ring_mesh=None,
+    ring_axis: str = "seq",
 ) -> jnp.ndarray:
     """Forward pass → logits f32 [B, S, V].
 
@@ -280,7 +282,13 @@ def apply_model(
         v = proj("v", h, "wv").reshape(b, s, spec.n_kv_heads, spec.d_head)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if use_pallas:
+        if ring_mesh is not None and ring_mesh.shape.get(ring_axis, 1) > 1:
+            # sequence-parallel path: ring attention over the seq mesh axis
+            from tst.kernels.ring_attention import ring_attention
+
+            attn = ring_attention(q, k, v, ring_mesh, seq_axis=ring_axis,
+                                  causal=True)
+        elif use_pallas:
             attn = _flash_attention(q, k, v)
         else:
             attn = _dense_attention(q, k, v, causal)

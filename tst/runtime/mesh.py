@@ -31,28 +31,34 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("fold", "data", "tensor")
+AXES = ("fold", "data", "seq", "tensor")
 
 
 def make_mesh(
     fold: int = 1,
     data: int = 1,
     tensor: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build the ``(fold, data, tensor)`` mesh over ``fold*data*tensor``
+    """Build the ``(fold, data, seq, tensor)`` mesh over the product of
     devices (defaults to all available). Axis sizes of 1 are legal and
-    collapse that axis to "unsharded"."""
+    collapse that axis to "unsharded". ``seq`` is the ring-attention
+    sequence-parallel axis (SURVEY.md §5 long-context); it sits next to
+    ``tensor`` so KV rotation rides nearest-neighbor ICI links."""
     devs = list(devices if devices is not None else jax.devices())
-    need = fold * data * tensor
+    need = fold * data * seq * tensor
     if need > len(devs):
-        raise ValueError(f"mesh {fold}x{data}x{tensor} needs {need} devices, have {len(devs)}")
-    grid = np.asarray(devs[:need]).reshape(fold, data, tensor)
+        raise ValueError(
+            f"mesh {fold}x{data}x{seq}x{tensor} needs {need} devices, have {len(devs)}"
+        )
+    grid = np.asarray(devs[:need]).reshape(fold, data, seq, tensor)
     return Mesh(grid, AXES)
 
 
 def from_config(mesh_cfg, devices=None) -> Mesh:
-    return make_mesh(mesh_cfg.fold, mesh_cfg.data, mesh_cfg.tensor, devices)
+    return make_mesh(mesh_cfg.fold, mesh_cfg.data, mesh_cfg.tensor,
+                     getattr(mesh_cfg, "seq", 1), devices)
 
 
 #: logical model axis (tst.models.decoder.PARAM_AXES) → mesh axis

@@ -115,7 +115,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     fold_id = kfold_assign(ds, k, cfg.data.seed)
 
     mesh = None
-    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.tensor > 1:
+    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
         mesh = mesh_mod.from_config(cfg.mesh)
     spec, params = build_model(cfg, tokenizer, mesh)
     lspec = LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
@@ -132,6 +132,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
         use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
         remat=cfg.model.remat, mesh=mesh, t_max=t_max,
+        ring=cfg.mesh.seq > 1,
     )
     lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
     tokens, loss_mask, answer_pos = _device_data(tb, mesh)

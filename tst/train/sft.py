@@ -47,10 +47,12 @@ def sft_loss(
     lora_spec: LoraSpec,
     use_pallas: bool = False,
     remat: bool = False,
+    ring_mesh=None,
 ) -> jnp.ndarray:
     """Prompt-masked causal-LM cross entropy (mean over target tokens)."""
     logits = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
-                         use_pallas=use_pallas, remat=remat)  # [B, S, V] f32
+                         use_pallas=use_pallas, remat=remat,
+                         ring_mesh=ring_mesh)  # [B, S, V] f32
     labels = tokens[:, 1:]
     w = loss_mask[:, 1:]
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
@@ -69,6 +71,7 @@ def sft_loss_window(
     lora_spec: LoraSpec,
     use_pallas: bool = False,
     remat: bool = False,
+    ring_mesh=None,
 ) -> jnp.ndarray:
     """Same loss as :func:`sft_loss`, but the vocab projection runs only on
     the ``t_max``-token answer window instead of all S positions.
@@ -81,7 +84,8 @@ def sft_loss_window(
     the window.
     """
     h = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
-                    use_pallas=use_pallas, remat=remat, return_hidden=True)
+                    use_pallas=use_pallas, remat=remat, return_hidden=True,
+                    ring_mesh=ring_mesh)
     s = tokens.shape[1]
     rows = answer_pos[:, None] + jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [B, T]
     in_range = rows <= s - 2
@@ -174,6 +178,7 @@ class FoldTrainer:
         remat: bool = False,
         mesh=None,
         t_max: Optional[int] = None,
+        ring: bool = False,
     ):
         self.spec = spec
         self.lora_spec = lora_spec
@@ -185,6 +190,8 @@ class FoldTrainer:
         self.remat = remat
         #: answer-window length; None = full-sequence loss (debug/fallback)
         self.t_max = t_max
+        #: sequence-parallel training: ring attention over mesh's "seq" axis
+        self.ring_mesh = mesh if (ring and mesh is not None) else None
         self._step_fn = self._build_step()
 
     def init_state(self, rng: jax.Array) -> Tuple[Params, Params]:
@@ -206,8 +213,11 @@ class FoldTrainer:
         # Memoize compiled programs on the training hyperparams: repeated
         # trainers with identical configs (IBP rounds, test suites) must hit
         # jax's jit cache instead of re-tracing a fresh closure.
+        ring_key = None
+        if self.ring_mesh is not None:
+            ring_key = (self.ring_mesh.axis_names, self.ring_mesh.devices.shape)
         key = (self.spec, self.lora_spec, self._opt_key, self.use_pallas,
-               self.remat, self.t_max)
+               self.remat, self.t_max, ring_key)
         cached = _STEP_CACHE.get(key)
         if cached is not None:
             return cached
@@ -215,17 +225,19 @@ class FoldTrainer:
         spec, lspec = self.spec, self.lora_spec
         use_pallas, remat = self.use_pallas, self.remat
         t_max = self.t_max
+        ring_mesh = self.ring_mesh
         tx = self.tx
 
         def one_fold(base, lora, opt_state, tokens, mask, pos):
             if t_max is None:
                 loss, grads = jax.value_and_grad(sft_loss, argnums=1)(
-                    base, lora, tokens, mask, spec, lspec, use_pallas, remat
+                    base, lora, tokens, mask, spec, lspec, use_pallas, remat,
+                    ring_mesh
                 )
             else:
                 loss, grads = jax.value_and_grad(sft_loss_window, argnums=1)(
                     base, lora, tokens, mask, pos, t_max, spec, lspec,
-                    use_pallas, remat
+                    use_pallas, remat, ring_mesh
                 )
             updates, opt_state = tx.update(grads, opt_state, lora)
             lora = optax.apply_updates(lora, updates)
