@@ -94,3 +94,38 @@ class TestIBPEndToEnd:
         assert rep["stop_reason"] == "blind_acc<=chance+eps"
         assert rep["rounds_run"] <= 2
         assert rep["fraction_kept"] >= 0.8
+
+
+@pytest.mark.slow
+class TestIBPSftFastPath:
+    """SFT-diagnostic IBP: one tokenization/model, constant program shapes
+    across rounds (the on-device loop the north-star requires)."""
+
+    def test_prunes_position_bias(self):
+        cfg = RunConfig()
+        cfg.data.k = 2
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.lora.rank = 4
+        cfg.lora.alpha = 8.0
+        cfg.lora.targets = ("q_proj", "v_proj")
+        cfg.optim.lr = 5e-3
+        cfg.optim.epochs = 5
+        cfg.optim.batch_size = 16
+        cfg.ibp.diagnostic = "sft"
+        cfg.ibp.rounds = 3
+        cfg.ibp.prune_rate = 0.25
+        cfg.ibp.stop_epsilon = 0.05
+        cfg.out_dir = tempfile.mkdtemp()
+        ds = make_synthetic_mcq(n=96, bias_fraction=0.5, bias_kind="position",
+                                seed=0)
+        rep = run_ibp(ds, cfg)
+        assert rep["rounds_run"] >= 2
+        accs = [a["blind_accuracy"] for a in rep["per_round"]]
+        assert accs[0] > 0.4  # position shortcut learned in round 0
+        assert accs[-1] < accs[0]  # pruning reduces exploitability
+        from tst.data.schema import BlindDataset
+
+        removed = BlindDataset.load_jsonl(f"{cfg.out_dir}/removed.jsonl")
+        assert np.mean([s.meta["planted_bias"] for s in removed]) > 0.6

@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Iterable, List, Optional
 
 from tst.data.adapters._hf import first_present, load_rows
-from tst.data.schema import MCQ, OPTION_LETTERS, BlindDataset, Sample
+from tst.data.schema import MCQ, BlindDataset, Sample, resolve_gold_letter
 
 HUB_ID = "nyu-visionx/CV-Bench"
 
@@ -28,12 +28,9 @@ def row_to_sample(row: dict, idx: int) -> Optional[Sample]:
     dim = str(first_present(row, "type", default="")).strip()  # "2D" / "3D"
     category = f"{dim}_{task}".strip("_").lower()
     opts = [str(o).strip() for o in choices]
-    a = str(answer).strip().strip("()")  # released format: "(A)"
-    if a and a[0].upper() not in OPTION_LETTERS[: len(opts)]:
-        try:
-            a = OPTION_LETTERS[[o.lower() for o in opts].index(a.lower())]
-        except ValueError:
-            return None
+    a = resolve_gold_letter(answer, opts)  # released format: "(A)"
+    if a is None:
+        return None
     return Sample(
         id=f"cvb-{sid}",
         question=question,

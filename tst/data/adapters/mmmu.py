@@ -14,7 +14,8 @@ import ast
 from typing import Iterable, List, Optional
 
 from tst.data.adapters._hf import first_present, load_rows
-from tst.data.schema import MCQ, OPEN, OPTION_LETTERS, BlindDataset, Sample
+from tst.data.schema import (MCQ, OPEN, OPTION_LETTERS, BlindDataset, Sample,
+                             resolve_gold_letter)
 
 HUB_ID = "MMMU/MMMU"
 
@@ -55,12 +56,9 @@ def row_to_sample(row: dict, idx: int) -> Optional[Sample]:
     }
     options = _parse_options(first_present(row, "options", default=None))
     if qtype == "multiple-choice" and options:
-        a = str(answer).strip()
-        if a and a[0].upper() not in OPTION_LETTERS[: len(options)]:
-            try:
-                a = OPTION_LETTERS[[o.lower() for o in options].index(a.lower())]
-            except ValueError:
-                return None
+        a = resolve_gold_letter(answer, options)
+        if a is None:
+            return None
         return Sample(
             id=f"mmmu-{sid}",
             question=question,

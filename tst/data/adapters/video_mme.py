@@ -12,7 +12,8 @@ from __future__ import annotations
 from typing import Iterable, List, Optional
 
 from tst.data.adapters._hf import first_present, load_rows
-from tst.data.schema import MCQ, OPTION_LETTERS, BlindDataset, Sample
+from tst.data.schema import (MCQ, OPTION_LETTERS, BlindDataset, Sample,
+                             resolve_gold_letter)
 
 HUB_ID = "lmms-lab/Video-MME"
 
@@ -34,11 +35,15 @@ def row_to_sample(row: dict, idx: int, include_subtitles: bool = True) -> Option
     subtitle = ""
     if include_subtitles:
         subtitle = str(first_present(row, "subtitle", "subtitles", "transcript", default="") or "")
+    opts = [_strip_letter_prefix(o) for o in options]
+    a = resolve_gold_letter(answer, opts)
+    if a is None:
+        return None
     return Sample(
         id=f"vmme-{sid}",
         question=question,
-        options=[_strip_letter_prefix(o) for o in options],
-        answer=str(answer).strip(),
+        options=opts,
+        answer=a,
         answer_type=MCQ,
         category=str(first_present(row, "task_type", "sub_category", default="unknown")),
         context=subtitle,

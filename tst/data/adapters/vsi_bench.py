@@ -18,7 +18,8 @@ from __future__ import annotations
 from typing import Iterable, List, Optional
 
 from tst.data.adapters._hf import first_present, load_rows
-from tst.data.schema import MCQ, NUMERIC, OPTION_LETTERS, BlindDataset, Sample
+from tst.data.schema import (MCQ, NUMERIC, OPTION_LETTERS, BlindDataset,
+                             Sample, resolve_gold_letter)
 
 HUB_ID = "nyu-visionx/VSI-Bench"
 
@@ -62,13 +63,9 @@ def row_to_sample(row: dict, idx: int) -> Optional[Sample]:
             meta=meta,
         )
     opts = [_strip_letter_prefix(str(o)) for o in options]
-    answer = str(gt).strip()
-    if answer and answer[0].upper() not in OPTION_LETTERS[: len(opts)]:
-        # gold given as option text — resolve to letter
-        try:
-            answer = OPTION_LETTERS[[o.lower() for o in opts].index(answer.lower())]
-        except ValueError:
-            return None
+    answer = resolve_gold_letter(gt, opts)
+    if answer is None:
+        return None
     return Sample(
         id=f"vsi-{sid}",
         question=question,

@@ -40,7 +40,13 @@ def kfold_assign(ds: BlindDataset, k: int, seed: int = 0) -> np.ndarray:
     for stratum_key in sorted(strata, key=str):
         idx = np.asarray(strata[stratum_key], dtype=np.int64)
         # Stratum-local RNG: stable under addition/removal of other strata.
-        h = abs(hash((seed, stratum_key))) % (2**32)
+        # NB: a content hash, NOT Python's hash() — str hashing is salted per
+        # process, which would make folds differ across runs/resumes (the
+        # leakage-detection tool must never leak via nondeterministic folds).
+        import hashlib
+
+        digest = hashlib.sha256(repr((seed, stratum_key)).encode()).digest()
+        h = int.from_bytes(digest[:4], "little")
         rng = np.random.default_rng(np.random.SeedSequence([seed, h]))
         rng.shuffle(idx)
         start = int(rng.integers(k))

@@ -76,6 +76,32 @@ class Sample:
         return cls(**d)
 
 
+def resolve_gold_letter(answer, options) -> Optional[str]:
+    """Resolve a raw gold answer (letter OR full option text) to a letter.
+
+    Order matters: exact option-text match takes priority, otherwise answers
+    like "Bird" would be misparsed as letter "B" (pointing at a different
+    option). Returns None when the answer is neither an option text nor a
+    recognizable letter — callers should skip the row rather than guess.
+    """
+    import re
+
+    a = str(answer).strip()
+    if not a:
+        return None
+    opts = [str(o).strip().lower() for o in options]
+    if a.lower() in opts:
+        return OPTION_LETTERS[opts.index(a.lower())]
+    m = re.fullmatch(r"[\(\[]?([A-Ja-j])[\)\]\.:]?", a)
+    if m and m.group(1).upper() in OPTION_LETTERS[: len(options)]:
+        return m.group(1).upper()
+    # "B) some text" / "B. text" style: letter + separator + anything
+    m = re.match(r"^[\(\[]?([A-Ja-j])[\)\]\.:]\s", a)
+    if m and m.group(1).upper() in OPTION_LETTERS[: len(options)]:
+        return m.group(1).upper()
+    return None
+
+
 def normalize_letter(answer: str, n_options: int) -> str:
     """Normalize an MCQ gold answer to a bare letter.
 

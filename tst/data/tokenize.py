@@ -182,8 +182,13 @@ def tokenize_dataset(
         target_ids.append(ti)
 
     lengths = np.array([len(p) + len(t) for p, t in zip(prompt_ids, target_ids)])
-    cap = max_len or pick_bucket(int(lengths.max()), buckets)
-    L = pick_bucket(min(int(lengths.max()), cap), buckets) if max_len is None else max_len
+    if max_len is not None:
+        # round up to a lane multiple: TPU kernels tile the sequence in
+        # 128-blocks (a non-multiple would silently drop tail rows in the
+        # flash-attention grid)
+        L = max_len + (-max_len) % 128
+    else:
+        L = pick_bucket(int(lengths.max()), buckets)
 
     n = len(ds)
     max_opts = max((len(s.options) for s in ds), default=0)

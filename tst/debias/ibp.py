@@ -85,20 +85,18 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     cat_ids = np.array([cat_names.index(s.category) for s in ds])
     audit: List[Dict[str, Any]] = []
     last_sx = np.full(n, np.nan, np.float32)
+    last_fold = np.full(n, -1, np.int32)
 
     use_sft = cfg.ibp.diagnostic == "sft"
+    sft = _SftRoundRunner(ds, cfg) if use_sft else None
     rounds_run = 0
     stop_reason = "max_rounds"
     for r in range(cfg.ibp.rounds):
         sub_idx = np.flatnonzero(alive)
         sub = ds.subset(sub_idx)
         if use_sft:
-            from tst.train.pipeline import run_sft_diagnostic
-
-            sub_cfg = _round_cfg(cfg, r)
-            rep = run_sft_diagnostic(sub, sub_cfg, return_state=True)
-            s_sub = rep["_state"]["s_x"]
-            blind_acc, chance = rep["blind_accuracy"], rep["chance_accuracy"]
+            s_sub, fold_sub, blind_acc, chance = sft.run_round(r, alive)
+            last_fold[sub_idx] = fold_sub
         else:
             from tst.diagnose.rf import run_rf_diagnostic
 
@@ -107,6 +105,7 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
                                   max_depth=cfg.rf.max_depth, backend=cfg.rf.backend,
                                   score_rule=cfg.rf.score_rule)
             s_sub = d.s_x
+            last_fold[sub_idx] = d.fold_id
             blind_acc, chance = d.blind_accuracy, d.chance
         last_sx[sub_idx] = s_sub
         rounds_run = r + 1
@@ -146,7 +145,7 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     outputs.write_debiased_split(cfg.out_dir, ds, alive,
                                  audit={"rounds": audit, "config": cfg.to_json()})
     outputs.write_sx_table(cfg.out_dir, ds, last_sx,
-                           fold_id=np.zeros(n, np.int32),
+                           fold_id=last_fold,
                            extra={"kept": alive.astype(np.float32)})
     outputs.write_report(cfg.out_dir, report, name="ibp_report.json")
     return report
@@ -158,8 +157,95 @@ def _scatter(values: np.ndarray, idx: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _round_cfg(cfg: RunConfig, r: int) -> RunConfig:
-    sub_cfg = RunConfig.from_json(cfg.to_json())
-    sub_cfg.out_dir = f"{cfg.out_dir}/round_{r:02d}"
-    sub_cfg.data.seed = cfg.data.seed + 1000 * r  # fresh folds per round
-    return sub_cfg
+class _SftRoundRunner:
+    """On-device IBP rounds with the blind-SFT diagnostic [north-star]:
+    tokenize ONCE, build/shard the base model ONCE, keep every program shape
+    constant across rounds (train-step batch [k, B, S], scorer grid [k, M0])
+    so XLA compiles exactly one set of programs for the whole loop. Rounds
+    differ only in tiny host-side index streams and survivor masks.
+    """
+
+    def __init__(self, ds: BlindDataset, cfg: RunConfig):
+        import jax
+        import jax.numpy as jnp
+
+        from tst.data.folds import kfold_assign
+        from tst.data.tokenize import tokenize_dataset
+        from tst.runtime import mesh as mesh_mod
+        from tst.models.lora import LoraSpec
+        from tst.train.pipeline import build_model, build_tokenizer, _device_data
+        from tst.train.sft import FoldTrainer, make_fold_batches
+
+        self.ds = ds
+        self.cfg = cfg
+        self.k = cfg.data.k
+        self.tokenizer = build_tokenizer(cfg)
+        self.tb = tokenize_dataset(ds, self.tokenizer, max_len=cfg.data.max_len,
+                                   include_context=cfg.data.include_context)
+        self.mesh = None
+        if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
+            self.mesh = mesh_mod.from_config(cfg.mesh)
+        self.spec, self.params = build_model(cfg, self.tokenizer, self.mesh)
+        self.lspec = LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
+                              targets=tuple(cfg.lora.targets), dtype=self.spec.dtype)
+        self.tokens, self.loss_mask, self.answer_pos = _device_data(self.tb, self.mesh)
+        self.t_max = int(np.max(self.tb.lengths - self.tb.answer_pos - 1))
+        # round-0 sizing pins program shapes (later rounds only shrink)
+        fold0 = kfold_assign(ds, self.k, cfg.data.seed)
+        b0 = make_fold_batches(fold0, self.k, cfg.optim.batch_size,
+                               cfg.optim.epochs, cfg.data.seed,
+                               batch_multiple=cfg.mesh.data)
+        self.total_steps0 = b0.shape[0]
+        self.pad_m = int(max(np.bincount(fold0, minlength=self.k)))
+        self.trainer = FoldTrainer(
+            self.spec, self.lspec, self.k, lr=cfg.optim.lr,
+            total_steps=self.total_steps0,  # fixed across rounds: ONE program
+            warmup_frac=cfg.optim.warmup_frac,
+            weight_decay=cfg.optim.weight_decay,
+            use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
+            remat=cfg.model.remat, mesh=self.mesh, t_max=self.t_max,
+            ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
+        )
+        self._on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
+
+    def run_round(self, r: int, alive: np.ndarray):
+        """→ (s_x over surviving rows, their fold ids, blind_acc, chance)."""
+        import jax
+
+        from tst.data.folds import kfold_assign
+        from tst.diagnose.score import bias_scores
+        from tst.eval import metrics
+        from tst.train.infer import score_heldout_mcq
+        from tst.train.sft import make_fold_batches
+
+        cfg = self.cfg
+        sub_idx = np.flatnonzero(alive)
+        sub = self.ds.subset(sub_idx)
+        fold_sub = kfold_assign(sub, self.k, cfg.data.seed + 1000 * r)
+        fold_global = np.full(len(self.ds), -1, np.int32)
+        fold_global[sub_idx] = fold_sub
+
+        batches = make_fold_batches(
+            fold_global, self.k, cfg.optim.batch_size, cfg.optim.epochs,
+            cfg.data.seed + r, batch_multiple=cfg.mesh.data,
+            include_mask=alive,
+        )
+        lora, opt = self.trainer.init_state(jax.random.key(cfg.data.seed + 1 + r))
+        lora, opt, log = self.trainer.fit(
+            self.params, lora, opt, self.tokens, self.loss_mask, batches,
+            all_pos=self.answer_pos, log_every=cfg.log_every,
+        )
+        probs = score_heldout_mcq(
+            self.params, lora, self.spec, self.lspec, self.tokens,
+            self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
+            fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
+        )
+        probs_sub = probs[sub_idx]
+        gold_sub = self.tb.gold[sub_idx]
+        nopt_sub = self.tb.n_options[sub_idx]
+        s_sub = bias_scores(probs_sub, gold_sub, nopt_sub,
+                            rule=cfg.rf.score_rule)
+        pred = probs_sub.argmax(-1)
+        blind_acc = float(metrics.accuracy(pred, gold_sub))
+        chance = float(metrics.chance_accuracy(nopt_sub))
+        return s_sub, fold_sub, blind_acc, chance

@@ -62,7 +62,9 @@ def run_rf_diagnostic(
     is_mcq = fm.labels >= 0
     n = fm.n
     max_c = int(fm.labels.max()) + 1 if is_mcq.any() else 1
-    probs = np.zeros((n, max_c), np.float32)
+    # NaN marks rows no fold-model scored (skipped folds, non-MCQ) — they
+    # must yield s_x = NaN, never a legitimate-looking 0.0
+    probs = np.full((n, max_c), np.nan, np.float32)
     fold_accs: List[float] = []
     importances = np.zeros(fm.dim, np.float64)
     n_fitted = 0
@@ -81,9 +83,11 @@ def run_rf_diagnostic(
     if n_fitted == 0:
         raise ValueError("no MCQ samples to diagnose")
     importances /= n_fitted
-    pred = probs.argmax(-1).astype(np.int32)
-    s_x = bias_scores(probs, fm.labels, fm.n_options, rule=score_rule)
-    blind_acc = float(metrics.accuracy(pred, fm.labels, mask=is_mcq))
+    scored = np.isfinite(probs).all(-1)
+    pred = np.where(scored, np.nan_to_num(probs).argmax(-1), -1).astype(np.int32)
+    s_x = bias_scores(np.nan_to_num(probs), fm.labels, fm.n_options, rule=score_rule)
+    s_x = np.where(scored, s_x, np.nan)
+    blind_acc = float(metrics.accuracy(pred, fm.labels, mask=is_mcq & scored))
     chance = float(metrics.chance_accuracy(fm.n_options))
     order = np.argsort(-importances, kind="stable")
     imp = {fm.names[i]: float(importances[i]) for i in order if importances[i] > 0}

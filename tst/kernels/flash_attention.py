@@ -338,7 +338,13 @@ def flash_attention(
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(d))
     bq = block_q or _pick_block(s)
-    bk = block_k or _pick_block(s, 512)
+    bk = block_k or _pick_block(k.shape[1], 512)
+    if s % bq or k.shape[1] % bk:
+        raise ValueError(
+            f"flash_attention needs seq lengths divisible by the block sizes: "
+            f"q {s} % {bq}, kv {k.shape[1]} % {bk} — pad sequences to a "
+            f"128-multiple (tst.data.tokenize does this)"
+        )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)

@@ -94,16 +94,6 @@ def lora_param_pspec(leaf_name: str, with_fold_axis: bool = True) -> P:
     return P(*((("fold",) if with_fold_axis else ()) + inner))
 
 
-def _flatten_with_paths(tree, prefix=""):
-    out = []
-    if isinstance(tree, dict):
-        for k in sorted(tree):
-            out += _flatten_with_paths(tree[k], f"{prefix}{k}." if not prefix else f"{prefix}{k}.")
-    else:
-        out.append((prefix.rstrip("."), tree))
-    return out
-
-
 def param_pspec_tree(params) -> Any:
     """Map a base-param pytree to a matching tree of PartitionSpecs.
 

@@ -29,10 +29,16 @@ from tst.models.decoder import ModelSpec, apply_model, lm_head_weight
 from tst.models.lora import LoraSpec
 
 
-def heldout_index_grid(fold_id: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Pad each fold's held-out rows to [k, M] (+ validity mask [k, M])."""
+def heldout_index_grid(fold_id: np.ndarray, k: int,
+                       pad_to: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad each fold's held-out rows to [k, M] (+ validity mask [k, M]).
+
+    ``pad_to`` pins M (must be >= every fold's held-out count) so shrinking
+    subsets (IBP rounds) keep a constant scorer program shape."""
     rows = [np.flatnonzero(fold_id == f) for f in range(k)]
-    m = max(len(r) for r in rows)
+    m = pad_to or max(len(r) for r in rows)
+    if max(len(r) for r in rows) > m:
+        raise ValueError(f"pad_to={m} smaller than a fold's held-out count")
     idx = np.zeros((k, m), np.int32)
     valid = np.zeros((k, m), bool)
     for f, r in enumerate(rows):
@@ -139,9 +145,12 @@ def score_heldout_mcq(
     k: int,
     use_pallas: bool = False,
     batch: int = 32,
+    pad_to: Optional[int] = None,
 ) -> np.ndarray:
-    """End-to-end: held-out per-option probabilities [N, C]."""
-    idx, valid = heldout_index_grid(fold_id, k)
+    """End-to-end: held-out per-option probabilities [N, C]. Rows whose fold
+    id is outside [0, k) (e.g. IBP-pruned rows marked -1) are never scored
+    and keep prob 0."""
+    idx, valid = heldout_index_grid(fold_id, k, pad_to=pad_to)
     scorer = make_mcq_scorer(spec, lora_spec, use_pallas, batch)
     ll = scorer(base, lora_k, tokens, answer_pos, jnp.asarray(option_ids), jnp.asarray(idx))
     return letter_probs(np.asarray(ll), n_options, idx, valid, tokens.shape[0])

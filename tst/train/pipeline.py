@@ -132,8 +132,14 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
         use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
         remat=cfg.model.remat, mesh=mesh, t_max=t_max,
-        ring=cfg.mesh.seq > 1,
+        ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
     )
+    if cfg.lora.dropout:
+        raise NotImplementedError(
+            "lora.dropout is not implemented; set it to 0 (adapters are "
+            "trained for a handful of epochs on small test sets — dropout "
+            "has not been needed)"
+        )
     lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
     tokens, loss_mask, answer_pos = _device_data(tb, mesh)
 
@@ -260,7 +266,7 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
                           include_context=cfg.data.include_context)
     mesh = None
-    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.tensor > 1:
+    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
         mesh = mesh_mod.from_config(cfg.mesh)
     spec, params = build_model(cfg, tokenizer, mesh)
     tokens, _, answer_pos = _device_data(tb, mesh)

@@ -119,6 +119,7 @@ def make_fold_batches(
     epochs: int,
     seed: int,
     batch_multiple: int = 1,
+    include_mask: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per-fold epoch index streams: int32 [total_steps, k, B].
 
@@ -127,10 +128,17 @@ def make_fold_batches(
     the largest train split; smaller splits wrap around (re-sampling a fresh
     permutation per wrap). ``batch_size`` is rounded up to ``batch_multiple``
     (the ``data`` mesh axis size) so batches shard evenly.
+
+    ``include_mask`` (bool [N]) restricts training to a surviving subset
+    without reshaping the device-resident dataset — how IBP rounds train on
+    shrinking sets with zero re-uploads (SURVEY.md §3.3).
     """
     b = batch_size + (-batch_size) % batch_multiple
     rng = np.random.default_rng(seed)
-    train_rows: List[np.ndarray] = [np.flatnonzero(fold_id != f) for f in range(k)]
+    keep = np.ones_like(fold_id, bool) if include_mask is None else np.asarray(include_mask, bool)
+    train_rows: List[np.ndarray] = [
+        np.flatnonzero((fold_id != f) & keep) for f in range(k)
+    ]
     for f, rows in enumerate(train_rows):
         if len(rows) == 0:
             raise ValueError(f"fold {f} has an empty train split")
@@ -179,13 +187,15 @@ class FoldTrainer:
         mesh=None,
         t_max: Optional[int] = None,
         ring: bool = False,
+        b1: float = 0.9,
+        b2: float = 0.999,
     ):
         self.spec = spec
         self.lora_spec = lora_spec
         self.k = k
         self.mesh = mesh
-        self._opt_key = (lr, total_steps, warmup_frac, weight_decay)
-        self.tx = make_optimizer(lr, total_steps, warmup_frac, weight_decay)
+        self._opt_key = (lr, total_steps, warmup_frac, weight_decay, b1, b2)
+        self.tx = make_optimizer(lr, total_steps, warmup_frac, weight_decay, b1, b2)
         self.use_pallas = use_pallas
         self.remat = remat
         #: answer-window length; None = full-sequence loss (debug/fallback)
