@@ -50,6 +50,17 @@ def pick_bucket(max_len: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     raise ValueError(f"sequence length {max_len} exceeds largest bucket {buckets[-1]}")
 
 
+def _resolve_len(lengths, max_len, buckets) -> int:
+    """Final padded length: user cap rounded up to a lane multiple (TPU
+    kernels tile the sequence in 128-blocks; a non-multiple would drop tail
+    rows in the flash-attention grid), else the smallest bucket that fits —
+    clamped to the largest bucket (longer samples head-truncate, keeping the
+    answerable question/options tail)."""
+    if max_len is not None:
+        return max_len + (-max_len) % 128
+    return pick_bucket(min(int(lengths.max()), buckets[-1]), buckets)
+
+
 class ByteTokenizer:
     """Byte-level tokenizer: ids 0..255 are raw bytes; specials above.
 
@@ -166,13 +177,32 @@ def tokenize_dataset(
     max_len: Optional[int] = None,
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     include_context: bool = True,
+    backend: str = "auto",
 ) -> TokenBatch:
     """Tokenize + right-pad a dataset into one fixed-shape :class:`TokenBatch`.
 
     Sequences longer than the cap are *head-truncated on the prompt's context*
     (the question/options tail is always kept — it carries the shortcut signal
     the diagnostic is hunting for).
+
+    ``backend='auto'`` routes byte-tokenizer packing through the native C++
+    kernel (tst.native.fast_pack) when available — the Python per-token loop
+    dominates startup for long-transcript benchmarks on this single-core
+    host. Outputs are byte-identical (tested).
     """
+    if backend not in ("auto", "python", "native"):
+        raise ValueError(f"unknown tokenize backend {backend!r}")
+    if backend != "python" and isinstance(tokenizer, ByteTokenizer):
+        from tst.native.fast_pack import native_available
+
+        if native_available():
+            return _tokenize_dataset_native(ds, tokenizer, max_len, buckets,
+                                            include_context)
+        if backend == "native":
+            raise RuntimeError("native packing requested but unavailable")
+    elif backend == "native":
+        raise ValueError("native packing only supports the byte tokenizer")
+
     prompt_ids: List[List[int]] = []
     target_ids: List[List[int]] = []
     for s in ds:
@@ -182,13 +212,7 @@ def tokenize_dataset(
         target_ids.append(ti)
 
     lengths = np.array([len(p) + len(t) for p, t in zip(prompt_ids, target_ids)])
-    if max_len is not None:
-        # round up to a lane multiple: TPU kernels tile the sequence in
-        # 128-blocks (a non-multiple would silently drop tail rows in the
-        # flash-attention grid)
-        L = max_len + (-max_len) % 128
-    else:
-        L = pick_bucket(int(lengths.max()), buckets)
+    L = _resolve_len(lengths, max_len, buckets)
 
     n = len(ds)
     max_opts = max((len(s.options) for s in ds), default=0)
@@ -250,3 +274,47 @@ def pad_batch_n(tb: TokenBatch, multiple: int) -> Tuple[TokenBatch, np.ndarray]:
     )
     valid = np.concatenate([np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
     return padded, valid
+
+
+def _gold_arrays(ds: BlindDataset, tokenizer):
+    n = len(ds)
+    max_opts = max((len(s.options) for s in ds), default=0)
+    gold = np.full(n, -1, np.int32)
+    n_opts = np.zeros(n, np.int32)
+    for i, s in enumerate(ds):
+        if s.answer_type == MCQ:
+            gold[i] = s.answer_index
+            n_opts[i] = len(s.options)
+    opt_ids = tokenizer.option_token_ids(max_opts) if max_opts else np.zeros(0, np.int32)
+    return gold, n_opts, opt_ids
+
+
+def _tokenize_dataset_native(ds, tokenizer, max_len, buckets, include_context):
+    """ByteTokenizer packing through the C++ kernel; same semantics as the
+    Python path (space-folded targets, BOS/EOS, head-truncation)."""
+    from tst.native.fast_pack import pack_byte_batch
+
+    prompts: List[bytes] = []
+    targets: List[bytes] = []
+    for s in ds:
+        p, t = blind.render_example(s, include_context)
+        if t.startswith(" "):  # ByteTokenizer folds the target space into the prompt
+            p, t = p + " ", t[1:]
+        prompts.append(p.encode("utf-8", errors="replace"))
+        targets.append(t.encode("utf-8", errors="replace"))
+    p_off = np.zeros(len(ds) + 1, np.int64)
+    t_off = np.zeros(len(ds) + 1, np.int64)
+    np.cumsum([len(b) for b in prompts], out=p_off[1:])
+    np.cumsum([len(b) for b in targets], out=t_off[1:])
+    lengths = (p_off[1:] - p_off[:-1]) + (t_off[1:] - t_off[:-1]) + 2  # +BOS +EOS
+    L = _resolve_len(lengths, max_len, buckets)
+    tokens, loss_mask, answer_pos, true_len = pack_byte_batch(
+        b"".join(prompts), p_off, b"".join(targets), t_off, L,
+        tokenizer.pad_id, tokenizer.bos_id, tokenizer.eos_id,
+    )
+    gold, n_opts, opt_ids = _gold_arrays(ds, tokenizer)
+    return TokenBatch(
+        tokens=tokens, loss_mask=loss_mask, answer_pos=answer_pos,
+        lengths=true_len, gold=gold, n_options=n_opts,
+        option_token_ids=opt_ids, pad_id=tokenizer.pad_id,
+    )
