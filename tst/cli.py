@@ -129,6 +129,24 @@ def cmd_eval_blind(args) -> int:
     return 0
 
 
+def cmd_train_transfer(args) -> int:
+    """Fine-tune on a TRAINING set, blind-eval a test set (the VSI-Train-10k
+    control experiment — reference README.md:15)."""
+    from tst.data.adapters import load_benchmark
+    from tst.train.transfer import run_train_transfer
+
+    cfg = _resolve(args)
+    eval_ds = _load_dataset(cfg)
+    train_ds = load_benchmark(
+        args.train_bench, source=args.train_source,
+        **({"n": cfg.data.n, "seed": cfg.data.seed + 99}
+           if args.train_bench.startswith("synthetic") else {}),
+    )
+    report = run_train_transfer(train_ds, eval_ds, cfg)
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Re-emit artifacts (sx table / debiased split) from a run directory."""
     import numpy as np
@@ -196,9 +214,14 @@ def build_parser() -> argparse.ArgumentParser:
         ("diagnose-sft", cmd_diagnose_sft, "auto"),
         ("debias-ibp", cmd_debias_ibp, "auto"),
         ("eval-blind", cmd_eval_blind, "auto"),
+        ("train-transfer", cmd_train_transfer, "auto"),
     ]:
         sp = sub.add_parser(name)
         _common_flags(sp, default_platform=plat)
+        if name == "train-transfer":
+            sp.add_argument("--train-bench", required=True,
+                            help="training benchmark (e.g. a VSI-Train-10k jsonl)")
+            sp.add_argument("--train-source", default=None)
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("export")
     sp.add_argument("run_dir")
