@@ -172,8 +172,8 @@ class _SftRoundRunner:
         from tst.data.folds import kfold_assign
         from tst.data.tokenize import tokenize_dataset
         from tst.runtime import mesh as mesh_mod
-        from tst.models.lora import LoraSpec
-        from tst.train.pipeline import build_model, build_tokenizer, _device_data
+        from tst.train.pipeline import (_device_data, build_model,
+                                        build_tokenizer, lora_spec_from_cfg)
         from tst.train.sft import FoldTrainer, make_fold_batches
 
         self.ds = ds
@@ -186,17 +186,26 @@ class _SftRoundRunner:
         if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
             self.mesh = mesh_mod.from_config(cfg.mesh)
         self.spec, self.params = build_model(cfg, self.tokenizer, self.mesh)
-        self.lspec = LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
-                              targets=tuple(cfg.lora.targets), dtype=self.spec.dtype)
+        self.lspec = lora_spec_from_cfg(cfg, self.spec.dtype)
+        if cfg.optim.score_epochs:
+            raise NotImplementedError(
+                "optim.score_epochs is not supported inside the IBP loop "
+                "(per-round programs score the final epoch only); use "
+                "optim.n_seeds for s(x) stability instead"
+            )
         self.tokens, self.loss_mask, self.answer_pos = _device_data(self.tb, self.mesh)
         self.t_max = int(np.max(self.tb.lengths - self.tb.answer_pos - 1))
-        # round-0 sizing pins program shapes (later rounds only shrink)
-        fold0 = kfold_assign(ds, self.k, cfg.data.seed)
-        b0 = make_fold_batches(fold0, self.k, cfg.optim.batch_size,
-                               cfg.optim.epochs, cfg.data.seed,
-                               batch_multiple=cfg.mesh.data)
-        self.total_steps0 = b0.shape[0]
-        self.pad_m = int(max(np.bincount(fold0, minlength=self.k)))
+        # Round-0 sizing pins program shapes. pad_m must bound EVERY round's
+        # max per-fold held-out count: stratified assignment gives each fold
+        # at most ceil(c_s/k) per stratum, so <= ceil(n/k) + n_strata total
+        # (later rounds only shrink n and strata).
+        n = len(ds)
+        b = cfg.optim.batch_size + (-cfg.optim.batch_size) % max(cfg.mesh.data, 1)
+        # largest train split = n - smallest fold >= n - ceil(n/k)
+        max_train = n - n // self.k
+        self.total_steps0 = int(np.ceil(max_train / b)) * cfg.optim.epochs
+        n_strata = len({(s.category, s.answer_type, s.answer) for s in ds})
+        self.pad_m = min(n, int(np.ceil(n / self.k)) + n_strata)
         self.trainer = FoldTrainer(
             self.spec, self.lspec, self.k, lr=cfg.optim.lr,
             total_steps=self.total_steps0,  # fixed across rounds: ONE program
@@ -230,21 +239,48 @@ class _SftRoundRunner:
             cfg.data.seed + r, batch_multiple=cfg.mesh.data,
             include_mask=alive,
         )
-        lora, opt = self.trainer.init_state(jax.random.key(cfg.data.seed + 1 + r))
-        lora, opt, log = self.trainer.fit(
-            self.params, lora, opt, self.tokens, self.loss_mask, batches,
-            all_pos=self.answer_pos, log_every=cfg.log_every,
-        )
-        probs = score_heldout_mcq(
-            self.params, lora, self.spec, self.lspec, self.tokens,
-            self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
-            fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
-        )
+        n_seeds = max(int(cfg.optim.n_seeds), 1)
+        seed_probs = []
+        for s_i in range(n_seeds):
+            lora, opt = self.trainer.init_state(
+                jax.random.key(cfg.data.seed + 1 + r + 7919 * s_i))
+            if s_i > 0:
+                batches = make_fold_batches(
+                    fold_global, self.k, cfg.optim.batch_size, cfg.optim.epochs,
+                    cfg.data.seed + r + 31 * s_i, batch_multiple=cfg.mesh.data,
+                    include_mask=alive,
+                )
+            lora, opt, log = self.trainer.fit(
+                self.params, lora, opt, self.tokens, self.loss_mask, batches,
+                all_pos=self.answer_pos, log_every=cfg.log_every,
+            )
+            seed_probs.append(score_heldout_mcq(
+                self.params, lora, self.spec, self.lspec, self.tokens,
+                self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
+                fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
+            ))
+        probs = np.mean(seed_probs, axis=0) if n_seeds > 1 else seed_probs[0]
         probs_sub = probs[sub_idx]
         gold_sub = self.tb.gold[sub_idx]
         nopt_sub = self.tb.n_options[sub_idx]
         s_sub = bias_scores(probs_sub, gold_sub, nopt_sub,
                             rule=cfg.rf.score_rule)
+        # numeric (NA) rows: held-out greedy decode -> per-sample MRA s(x),
+        # matching run_sft_diagnostic (these rows are prunable too). NB: the
+        # decode grids shrink per round (retrace) — numeric sets are small.
+        gold_values = np.array(
+            [s.answer_value if s.answer_type == "numeric" else np.nan
+             for s in self.ds], np.float32)
+        if np.isfinite(gold_values[sub_idx]).any():
+            from tst.train.infer import score_heldout_numeric
+
+            _, s_num = score_heldout_numeric(
+                self.params, lora, self.spec, self.lspec, self.tokens,
+                self.answer_pos, np.where(alive, gold_values, np.nan),
+                fold_global, self.k, tokenizer=self.tokenizer,
+                use_pallas=self._on_tpu,
+            )
+            s_sub = np.where(np.isfinite(s_num[sub_idx]), s_num[sub_idx], s_sub)
         pred = probs_sub.argmax(-1)
         blind_acc = float(metrics.accuracy(pred, gold_sub))
         chance = float(metrics.chance_accuracy(nopt_sub))

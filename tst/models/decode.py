@@ -30,6 +30,7 @@ from tst.models.decoder import (
     ModelSpec,
     _w,
     apply_model,
+    embed_lookup,
     apply_rope,
     lm_head_weight,
     rms_norm,
@@ -45,11 +46,7 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
     """
     b = token_b.shape[0]
     s_max = k_cache.shape[2]
-    embed = params["embed"]
-    if isinstance(embed, dict):  # int8-quantized embed (tst.models.quant)
-        x = (embed["q"][token_b].astype(jnp.float32) * embed["scale"][0]).astype(spec.dtype)[:, None, :]
-    else:
-        x = embed.astype(spec.dtype)[token_b][:, None, :]  # [B,1,D]
+    x = embed_lookup(params, token_b, spec)[:, None, :]  # [B,1,D]
     cos_full, sin_full = rope_tables(s_max, spec.d_head, spec.rope_theta)
     cos_t = cos_full[pos_b][:, None]  # [B,1,half]
     sin_t = sin_full[pos_b][:, None]

@@ -248,13 +248,7 @@ def apply_model(
     (tst.models.decode, for numeric/open answers).
     """
     b, s = tokens.shape
-    embed = params["embed"]
-    if _is_q(embed):
-        # int8 embed: gather int8 rows, then dequantize just the gathered rows
-        x = embed["q"][tokens].astype(jnp.float32) * embed["scale"][0]
-        x = x.astype(spec.dtype)
-    else:
-        x = embed.astype(spec.dtype)[tokens]  # [B, S, D]
+    x = embed_lookup(params, tokens, spec)  # [B, S, D]
     cos, sin = rope_tables(s, spec.d_head, spec.rope_theta)
     causal = jnp.tril(jnp.ones((s, s), bool))
 
@@ -342,7 +336,9 @@ def apply_model(
 
 
 def _is_q(leaf) -> bool:
-    return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
+    from tst.models.quant import is_quantized_leaf
+
+    return is_quantized_leaf(leaf)
 
 
 def _w(leaf, dtype) -> jnp.ndarray:
@@ -350,9 +346,19 @@ def _w(leaf, dtype) -> jnp.ndarray:
 
     For quantized leaves the dequant multiply fuses into the consuming
     matmul's prologue — no persistent bf16 copy (tst.models.quant)."""
-    if _is_q(leaf):
-        return (leaf["q"].astype(jnp.float32) * leaf["scale"]).astype(dtype)
-    return leaf.astype(dtype)
+    from tst.models.quant import dequantize_leaf
+
+    return dequantize_leaf(leaf, dtype)
+
+
+def embed_lookup(params: Params, tokens: jnp.ndarray, spec: ModelSpec) -> jnp.ndarray:
+    """Token embedding gather, quantization-aware: int8 rows are gathered
+    first and only the gathered rows dequantized."""
+    embed = params["embed"]
+    if _is_q(embed):
+        x = embed["q"][tokens].astype(jnp.float32) * embed["scale"][0]
+        return x.astype(spec.dtype)
+    return embed.astype(spec.dtype)[tokens]
 
 
 def lm_head_weight(params: Params, spec: ModelSpec) -> jnp.ndarray:

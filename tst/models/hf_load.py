@@ -108,18 +108,25 @@ def convert_state_dict(
     return params
 
 
+def _leaf_shape(leaf) -> tuple:
+    """Shape of a plain or int8-quantized ({"q","scale"}) leaf."""
+    if isinstance(leaf, dict) and "q" in leaf:
+        return tuple(leaf["q"].shape)
+    return tuple(leaf.shape)
+
+
 def _check_shapes(params: Params, spec: ModelSpec) -> None:
     expect = {
         "embed": (spec.vocab_size, spec.d_model),
         "final_norm": (spec.d_model,),
     }
     for k, shape in expect.items():
-        got = tuple(params[k].shape)
+        got = _leaf_shape(params[k])
         if got != shape:
             raise ValueError(f"{k}: shape {got} != spec {shape}")
-    wq = params["layers"]["wq"]
-    if tuple(wq.shape) != (spec.n_layers, spec.d_model, spec.q_dim):
-        raise ValueError(f"wq: {tuple(wq.shape)} != {(spec.n_layers, spec.d_model, spec.q_dim)}")
+    wq = _leaf_shape(params["layers"]["wq"])
+    if wq != (spec.n_layers, spec.d_model, spec.q_dim):
+        raise ValueError(f"wq: {wq} != {(spec.n_layers, spec.d_model, spec.q_dim)}")
     if spec.qkv_bias and "bq" not in params["layers"]:
         raise ValueError("spec expects qkv biases but checkpoint has none")
 

@@ -39,42 +39,68 @@ def build_tokenizer(cfg: RunConfig):
     return HFTokenizer(t)  # explicit tokenizer path
 
 
+def lora_spec_from_cfg(cfg: RunConfig, dtype) -> LoraSpec:
+    """Build the LoraSpec, rejecting config knobs that would otherwise be
+    silently ignored (same validation for every entry point)."""
+    if cfg.lora.dropout:
+        raise NotImplementedError(
+            "lora.dropout is not implemented; set it to 0 (adapters are "
+            "trained for a handful of epochs on small test sets — dropout "
+            "has not been needed)"
+        )
+    return LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
+                    targets=tuple(cfg.lora.targets), dtype=dtype)
+
+
 def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[str, Any]]:
     """ModelSpec + params: HF checkpoint when model.path is set, random
     init otherwise (tests / synthetic runs). Params are FSDP/TP-sharded over
-    the mesh as they are created."""
+    the mesh as they are created. ``model.quantize='int8'`` converts each
+    tensor AS IT IS CREATED/STREAMED — a full-precision 8B tree (16.1 GB,
+    over one v5e's HBM) never materializes on device."""
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.model.dtype]
+    quantize = cfg.model.quantize == "int8"
+    if not quantize and cfg.model.quantize != "none":
+        raise ValueError(f"unknown model.quantize {cfg.model.quantize!r}")
+
+    def _place(path, leaf):
+        """device_put a (possibly quantized) leaf with its mesh sharding."""
+        if mesh is None:
+            return leaf
+        from jax.sharding import NamedSharding
+
+        if isinstance(leaf, dict):  # quantized {"q","scale"}
+            wspec = mesh_mod.base_param_pspec(path)
+            from jax.sharding import PartitionSpec as P
+
+            sspec = P(*([None] * (len(wspec) - 1) + [wspec[-1]]))
+            return {
+                "q": jax.device_put(leaf["q"], NamedSharding(mesh, wspec)),
+                "scale": jax.device_put(leaf["scale"], NamedSharding(mesh, sspec)),
+            }
+        return jax.device_put(
+            leaf, NamedSharding(mesh, mesh_mod.base_param_pspec(path)))
+
     if cfg.model.path:
         from tst.models.hf_load import load_checkpoint, spec_from_hf_config
+        from tst.models.quant import quantizing_put
 
         spec = spec_from_hf_config(cfg.model.path, name=cfg.model.name)
         spec = type(spec)(**{**spec.__dict__, "dtype": dtype})
-        put = None
-        if mesh is not None:
-            from jax.sharding import NamedSharding
+        base_put = quantizing_put(dtype) if quantize else (
+            lambda path, a: jnp.asarray(a, dtype))
 
-            def put(path, a):
-                return jax.device_put(
-                    jnp.asarray(a, dtype),
-                    NamedSharding(mesh, mesh_mod.base_param_pspec(path)),
-                )
+        def put(path, a):
+            return _place(path, base_put(path, a))
 
         params = load_checkpoint(cfg.model.path, spec, dtype=dtype, put=put)
     else:
         spec = spec_by_name(cfg.model.name, dtype=dtype)
         if spec.vocab_size < tokenizer.vocab_size:
             spec = spec_by_name(cfg.model.name, dtype=dtype, vocab_size=tokenizer.vocab_size)
-        params = init_params(jax.random.key(cfg.data.seed), spec)
+        params = init_params(jax.random.key(cfg.data.seed), spec, quantize=quantize)
         if mesh is not None:
             params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
-    if cfg.model.quantize == "int8":
-        from tst.models.quant import quantize_params
-
-        params = quantize_params(params)
-        if mesh is not None:  # re-place quantized leaves with their shardings
-            params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
-    elif cfg.model.quantize != "none":
-        raise ValueError(f"unknown model.quantize {cfg.model.quantize!r}")
     return spec, params
 
 
@@ -118,8 +144,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
         mesh = mesh_mod.from_config(cfg.mesh)
     spec, params = build_model(cfg, tokenizer, mesh)
-    lspec = LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
-                     targets=tuple(cfg.lora.targets), dtype=spec.dtype)
+    lspec = lora_spec_from_cfg(cfg, spec.dtype)
 
     batches = make_fold_batches(
         fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
@@ -134,12 +159,6 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         remat=cfg.model.remat, mesh=mesh, t_max=t_max,
         ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
     )
-    if cfg.lora.dropout:
-        raise NotImplementedError(
-            "lora.dropout is not implemented; set it to 0 (adapters are "
-            "trained for a handful of epochs on small test sets — dropout "
-            "has not been needed)"
-        )
     lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
     tokens, loss_mask, answer_pos = _device_data(tb, mesh)
 

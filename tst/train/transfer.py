@@ -29,7 +29,8 @@ from tst.eval import metrics
 from tst.models.lora import LoraSpec
 from tst.runtime import mesh as mesh_mod
 from tst.train.infer import score_heldout_mcq
-from tst.train.pipeline import _device_data, build_model, build_tokenizer
+from tst.train.pipeline import (_device_data, build_model, build_tokenizer,
+                                lora_spec_from_cfg)
 from tst.train.sft import FoldTrainer, make_fold_batches
 
 
@@ -48,8 +49,7 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
     if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
         mesh = mesh_mod.from_config(cfg.mesh)
     spec, params = build_model(cfg, tokenizer, mesh)
-    lspec = LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
-                     targets=tuple(cfg.lora.targets), dtype=spec.dtype)
+    lspec = lora_spec_from_cfg(cfg, spec.dtype)
 
     # k=1, every row trains: fold ids of -1 never match fold 0
     pseudo_fold = np.full(tb_train.n, -1, np.int32)
