@@ -174,6 +174,8 @@ class TestDiagnosticSemantics:
         # remain a distribution per sample
         probs = rep["_state"]["probs"]
         np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+        # a fully position-biased benchmark must give highly seed-stable s(x)
+        assert rep["sx_seed_spearman"] > 0.5, rep["sx_seed_spearman"]
 
     def test_mixed_numeric_pipeline(self):
         """MCQ + numeric benchmark exercises the greedy-decode scoring leg."""

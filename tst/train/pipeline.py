@@ -181,6 +181,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     # scored; cfg.optim.score_epochs adds earlier snapshots.
     score_after = {int(e) for e in cfg.optim.score_epochs if 1 <= int(e) < cfg.optim.epochs}
     epoch_probs = []
+    seed_final_probs = []  # final snapshot per seed, for stability reporting
     steps_per_epoch = max(batches.shape[0] // max(cfg.optim.epochs, 1), 1)
     n_seeds = max(int(cfg.optim.n_seeds), 1)
     with trace(cfg.profile_dir):
@@ -210,9 +211,29 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
                 tlog = _merge_logs(tlog, elog)
                 if (e + 1) in score_after:
                     epoch_probs.append(score_now(lora))
-            epoch_probs.append(score_now(lora))
+            final = score_now(lora)
+            epoch_probs.append(final)
+            seed_final_probs.append(final)
 
     probs = np.mean(epoch_probs, axis=0) if len(epoch_probs) > 1 else epoch_probs[0]
+
+    # seed-stability: mean pairwise Spearman of per-seed s(x) rankings — the
+    # self-measured analogue of the cross-implementation parity metric
+    # (BASELINE.json: "s(x) Spearman"); low values mean more epochs/seeds are
+    # needed before the ranking is trustworthy.
+    sx_seed_spearman = None
+    if len(seed_final_probs) > 1:
+        from tst.eval.parity import spearman
+
+        per_seed_sx = [
+            bias_scores(p_i, tb.gold, tb.n_options, rule=cfg.rf.score_rule)
+            for p_i in seed_final_probs
+        ]
+        rhos = [
+            spearman(per_seed_sx[i], per_seed_sx[j])
+            for i in range(len(per_seed_sx)) for j in range(i + 1, len(per_seed_sx))
+        ]
+        sx_seed_spearman = float(np.nanmean(rhos))
     s_x = bias_scores(probs, tb.gold, tb.n_options, rule=cfg.rf.score_rule)
     pred = probs.argmax(-1).astype(np.int32)
     is_mcq = tb.gold >= 0
@@ -249,6 +270,8 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
 
     report = metrics.blind_report(blind_acc, chance, name=ds.name)
     report["per_category_blind_accuracy"] = per_category
+    if sx_seed_spearman is not None:
+        report["sx_seed_spearman"] = round(sx_seed_spearman, 4)
     if numeric_mra is not None:
         report["numeric_blind_mra"] = numeric_mra
         report["n_numeric"] = int(np.isfinite(gold_values).sum())
