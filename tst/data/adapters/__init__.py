@@ -28,9 +28,11 @@ def load_benchmark(name: str, source=None, split=None, **kw):
     if name.startswith("synthetic"):
         from tst.data.synthetic import make_synthetic_mcq
 
-        bias = 0.0
-        if ":" in name:
-            bias = float(name.split(":", 1)[1])
+        # "synthetic[:bias_fraction[:bias_kind]]"
+        parts = name.split(":")
+        bias = float(parts[1]) if len(parts) > 1 else 0.0
+        if len(parts) > 2:
+            kw.setdefault("bias_kind", parts[2])
         return make_synthetic_mcq(n=kw.pop("n", 256), bias_fraction=bias, **kw)
     if name.endswith(".jsonl"):
         from tst.data.schema import BlindDataset
