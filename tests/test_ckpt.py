@@ -40,6 +40,28 @@ class TestCheckpointResume:
         for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(lora2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_sharded_save_restore(self, setup, tmp_path):
+        """Orbax roundtrip of mesh-sharded adapter state (fold×tensor)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tst.aux.ckpt import load_train_state, save_train_state
+        from tst.runtime import mesh as mesh_mod
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 fake devices")
+        trainer, params, batches, _ = setup
+        mesh = mesh_mod.make_mesh(fold=2, data=2, tensor=2)
+        lora, opt = trainer.init_state(jax.random.key(3))
+        lora = mesh_mod.shard_tree(lora, mesh_mod.lora_pspec_tree(lora), mesh)
+        save_train_state(str(tmp_path / "shck"), lora, opt, extra={"step": 1})
+        lora2, opt2, extra = load_train_state(str(tmp_path / "shck"), lora, opt)
+        assert extra["step"] == 1
+        for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(lora2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored with the donor's shardings
+        assert jax.tree.leaves(lora2)[0].sharding == jax.tree.leaves(lora)[0].sharding
+
     def test_crash_resume_matches_uninterrupted(self, setup, tmp_path):
         """Fault-inject at step 4 of 8; resume must reproduce the full run."""
         trainer, params, batches, (tokens, mask, pos) = setup
