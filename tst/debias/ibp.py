@@ -201,8 +201,12 @@ class _SftRoundRunner:
         # (later rounds only shrink n and strata).
         n = len(ds)
         b = cfg.optim.batch_size + (-cfg.optim.batch_size) % max(cfg.mesh.data, 1)
-        # largest train split = n - smallest fold >= n - ceil(n/k)
-        max_train = n - n // self.k
+        n_strata0 = len({(s.category, s.answer_type, s.answer) for s in ds})
+        # UPPER bound on the largest train split across all rounds: the
+        # smallest stratified fold holds >= n//k - n_strata rows, so train
+        # <= n - n//k + n_strata. Overestimating total_steps only stretches
+        # the cosine tail; underestimating would clamp late steps to end-LR.
+        max_train = n - max(n // self.k - n_strata0, 0)
         self.total_steps0 = int(np.ceil(max_train / b)) * cfg.optim.epochs
         n_strata = len({(s.category, s.answer_type, s.answer) for s in ds})
         self.pad_m = min(n, int(np.ceil(n / self.k)) + n_strata)
@@ -241,6 +245,11 @@ class _SftRoundRunner:
         )
         n_seeds = max(int(cfg.optim.n_seeds), 1)
         seed_probs = []
+        seed_s_num = []
+        gold_values = np.array(
+            [s.answer_value if s.answer_type == "numeric" else np.nan
+             for s in self.ds], np.float32)
+        has_numeric = bool(np.isfinite(gold_values[sub_idx]).any())
         for s_i in range(n_seeds):
             lora, opt = self.trainer.init_state(
                 jax.random.key(cfg.data.seed + 1 + r + 7919 * s_i))
@@ -259,27 +268,28 @@ class _SftRoundRunner:
                 self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
                 fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
             ))
+            if has_numeric:
+                from tst.train.infer import score_heldout_numeric
+
+                _, s_num_i = score_heldout_numeric(
+                    self.params, lora, self.spec, self.lspec, self.tokens,
+                    self.answer_pos, np.where(alive, gold_values, np.nan),
+                    fold_global, self.k, tokenizer=self.tokenizer,
+                    use_pallas=self._on_tpu,
+                )
+                seed_s_num.append(s_num_i)
         probs = np.mean(seed_probs, axis=0) if n_seeds > 1 else seed_probs[0]
         probs_sub = probs[sub_idx]
         gold_sub = self.tb.gold[sub_idx]
         nopt_sub = self.tb.n_options[sub_idx]
         s_sub = bias_scores(probs_sub, gold_sub, nopt_sub,
                             rule=cfg.rf.score_rule)
-        # numeric (NA) rows: held-out greedy decode -> per-sample MRA s(x),
-        # matching run_sft_diagnostic (these rows are prunable too). NB: the
-        # decode grids shrink per round (retrace) — numeric sets are small.
-        gold_values = np.array(
-            [s.answer_value if s.answer_type == "numeric" else np.nan
-             for s in self.ds], np.float32)
-        if np.isfinite(gold_values[sub_idx]).any():
-            from tst.train.infer import score_heldout_numeric
-
-            _, s_num = score_heldout_numeric(
-                self.params, lora, self.spec, self.lspec, self.tokens,
-                self.answer_pos, np.where(alive, gold_values, np.nan),
-                fold_global, self.k, tokenizer=self.tokenizer,
-                use_pallas=self._on_tpu,
-            )
+        # numeric (NA) rows: held-out greedy decode -> per-sample MRA s(x)
+        # averaged over the same seed restarts as the MCQ scores (these rows
+        # are prunable too). NB: decode grids shrink per round (retrace) —
+        # numeric sets are small.
+        if seed_s_num:
+            s_num = np.nanmean(seed_s_num, axis=0)
             s_sub = np.where(np.isfinite(s_num[sub_idx]), s_num[sub_idx], s_sub)
         pred = probs_sub.argmax(-1)
         blind_acc = float(metrics.accuracy(pred, gold_sub))

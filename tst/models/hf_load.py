@@ -84,6 +84,8 @@ def convert_state_dict(
 
     params: Params = {}
     for name, tensor in sd.items():
+        if name == "lm_head.weight" and spec.tie_embeddings:
+            continue  # tied checkpoints reuse embed; don't transpose/quantize it
         hit = _TOP_MAP.get(name)
         if hit:
             path, transpose = hit
@@ -102,15 +104,15 @@ def convert_state_dict(
             a = a.T if transpose else a
             layer_buf(key, a.shape)[i] = a
     params["layers"] = {k: put(f"layers.{k}", v) for k, v in sorted(layers_np.items())}
-    if spec.tie_embeddings and "lm_head" in params:
-        del params["lm_head"]
     _check_shapes(params, spec)
     return params
 
 
 def _leaf_shape(leaf) -> tuple:
     """Shape of a plain or int8-quantized ({"q","scale"}) leaf."""
-    if isinstance(leaf, dict) and "q" in leaf:
+    from tst.models.quant import is_quantized_leaf
+
+    if is_quantized_leaf(leaf):
         return tuple(leaf["q"].shape)
     return tuple(leaf.shape)
 

@@ -26,17 +26,18 @@ _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 
 
-def _build() -> Optional[ctypes.CDLL]:
-    global _build_failed
-    if not (os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
-                check=True, capture_output=True, timeout=120,
-            )
-        except (OSError, subprocess.SubprocessError):
-            _build_failed = True
-            return None
+def _compile() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load_so() -> ctypes.CDLL:
     lib = ctypes.CDLL(_SO)
     lib.pack_byte_batch.restype = ctypes.c_int
     lib.pack_byte_batch.argtypes = [
@@ -46,6 +47,31 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
     return lib
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    stale = not (os.path.exists(_SO)
+                 and os.path.getmtime(_SO) >= os.path.getmtime(_SRC))
+    if stale and not _compile():
+        _build_failed = True
+        return None
+    try:
+        return _load_so()
+    except (OSError, AttributeError):
+        # partially-written or incompatible .so (e.g. a killed build):
+        # rebuild once, then give up cleanly — callers keep the Python path
+        try:
+            os.remove(_SO)
+        except OSError:
+            pass
+        if _compile():
+            try:
+                return _load_so()
+            except (OSError, AttributeError):
+                pass
+        _build_failed = True
+        return None
 
 
 def native_available() -> bool:
