@@ -12,7 +12,7 @@ which is how the reference's job-level per-fold parallelism maps onto one
 chip (SURVEY.md §2b: reference trains folds as independent runs).
 
 Workload: Qwen2.5-0.5B geometry (BASELINE.json config 2), bf16, LoRA r=16 on
-qkvo, seq 512, batch 8/fold, k=2, answer-window loss. Weights are random —
+qkvo, seq 512, k=5 folds (the north-star count) x batch 4/fold, answer-window loss. Weights are random —
 throughput is architecture-dependent, not weight-dependent.
 """
 
@@ -43,8 +43,10 @@ def main() -> None:
     n_chips = jax.device_count()
     on_tpu = backend in ("tpu", "axon")
 
-    K = 2
-    BATCH = 8
+    # north-star fold count; ~20 rows/step is the single-chip sweet spot
+    # (more rows degrade via HBM pressure: 40 rows -> 91.7 samples/s/chip)
+    K = 5
+    BATCH = 4
     SEQ = 512
     STEPS = 12
     WARMUP = 3
@@ -122,10 +124,10 @@ def main() -> None:
             spec8 = spec_by_name("llama3-8b")
             params8 = init_params(jax.random.key(0), spec8, quantize=True)
             lspec8 = LoraSpec(rank=16, alpha=32.0, dtype=spec8.dtype)
-            tr8 = FoldTrainer(spec8, lspec8, k=K, lr=1e-4, total_steps=10,
+            tr8 = FoldTrainer(spec8, lspec8, k=2, lr=1e-4, total_steps=10,
                               use_pallas=True, remat=True, t_max=t_max)
             lora8, opt8 = tr8.init_state(jax.random.key(1))
-            b8 = make_fold_batches(fold_id, K, 2, epochs=10, seed=0)
+            b8 = make_fold_batches(fold_id, 2, 2, epochs=10, seed=0)
             for t in range(2):
                 lora8, opt8, loss8 = tr8._step_fn(
                     params8, lora8, opt8, tokens, mask, pos, jnp.asarray(b8[t]))
@@ -135,7 +137,7 @@ def main() -> None:
                 lora8, opt8, loss8 = tr8._step_fn(
                     params8, lora8, opt8, tokens, mask, pos, jnp.asarray(b8[t]))
             np.asarray(loss8)
-            llama8b_sps = K * 2 * 6 / (time.perf_counter() - t0)
+            llama8b_sps = 2 * 2 * 6 / (time.perf_counter() - t0)
             del params8, lora8, opt8
         except Exception as e:  # never fail the primary metric
             print(f"8B leg skipped: {type(e).__name__}: {e}", file=sys.stderr)

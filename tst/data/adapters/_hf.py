@@ -39,7 +39,15 @@ def load_rows(source, split: Optional[str] = None, config: Optional[str] = None)
         return datasets.load_dataset("json", data_files=path, split="train")
     if path.endswith(".parquet"):
         return datasets.load_dataset("parquet", data_files=path, split="train")
-    return datasets.load_dataset(path, config, split=split)
+    try:
+        return datasets.load_dataset(path, config, split=split)
+    except Exception as e:  # hub ids need network; fail with actionable advice
+        raise RuntimeError(
+            f"could not load {path!r} as a local path or HF hub id "
+            f"({type(e).__name__}). If this is a hub id, note this "
+            f"environment has no network egress — download the dataset "
+            f"elsewhere and pass a local directory / jsonl / parquet path."
+        ) from e
 
 
 def first_present(row: dict, *keys, default=None):
