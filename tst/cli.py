@@ -124,7 +124,7 @@ def cmd_eval_blind(args) -> int:
 
     cfg = _resolve(args)
     ds = _load_dataset(cfg)
-    report = run_blind_eval(ds, cfg)
+    report = run_blind_eval(ds, cfg, adapter_dir=args.adapter)
     print(json.dumps(report, indent=2, default=float))
     return 0
 
@@ -222,6 +222,10 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--train-bench", required=True,
                             help="training benchmark (e.g. a VSI-Train-10k jsonl)")
             sp.add_argument("--train-source", default=None)
+        if name == "eval-blind":
+            sp.add_argument("--adapter", default=None,
+                            help="Orbax LoRA checkpoint dir to score with "
+                                 "(default: zero-shot base model)")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("export")
     sp.add_argument("run_dir")

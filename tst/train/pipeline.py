@@ -301,8 +301,12 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     return report
 
 
-def run_blind_eval(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
-    """Zero-shot blind baseline: score every sample with the base model."""
+def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
+                   adapter_dir: Optional[str] = None) -> Dict[str, Any]:
+    """Blind scoring of every sample with the base model — the zero-shot
+    baseline leg of the vision-blind gap (SURVEY.md §3.4) — or, with
+    ``adapter_dir``, with a trained LoRA checkpoint (the serving leg:
+    adapters trained once are evaluated anywhere)."""
     t_start = time.time()
     tokenizer = build_tokenizer(cfg)
     tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
@@ -312,15 +316,40 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
         mesh = mesh_mod.from_config(cfg.mesh)
     spec, params = build_model(cfg, tokenizer, mesh)
     tokens, _, answer_pos = _device_data(tb, mesh)
-    probs = score_all_mcq(
-        params, spec, tokens, answer_pos, tb.option_token_ids, tb.n_options,
-        use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
-    )
+    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
+    if adapter_dir:
+        from tst.aux.ckpt import load_train_state
+        from tst.models.lora import init_lora
+        from tst.train.sft import make_optimizer
+
+        lspec = lora_spec_from_cfg(cfg, spec.dtype)
+        # template pytrees with the fold leading axis the checkpoint carries
+        k_guess = cfg.data.k
+        keys = jax.random.split(jax.random.key(0), k_guess)
+        like_lora = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[init_lora(key, spec, lspec) for key in keys])
+        like_opt = jax.vmap(make_optimizer(1e-4, 10).init)(like_lora)
+        lora_k, _, _ = load_train_state(adapter_dir, like_lora, like_opt)
+        # score each sample with fold 0's adapter (single-adapter serving)
+        one = jax.tree.map(lambda x: x[:1], lora_k)
+        probs = score_heldout_mcq(
+            params, one, spec, lspec, tokens, answer_pos,
+            tb.option_token_ids, tb.n_options,
+            fold_id=np.zeros(tb.n, np.int32), k=1, use_pallas=on_tpu,
+        )
+    else:
+        probs = score_all_mcq(
+            params, spec, tokens, answer_pos, tb.option_token_ids, tb.n_options,
+            use_pallas=on_tpu,
+        )
     pred = probs.argmax(-1).astype(np.int32)
     blind_acc = float(metrics.accuracy(pred, tb.gold))
     chance = float(metrics.chance_accuracy(tb.n_options))
     report = metrics.blind_report(blind_acc, chance, name=ds.name)
-    report.update(n_samples=len(ds), model=spec.name, zero_shot=True,
+    report.update(n_samples=len(ds), model=spec.name,
+                  zero_shot=adapter_dir is None,
+                  adapter=adapter_dir,
                   wall_seconds=round(time.time() - t_start, 2))
     from tst.io import outputs
 
