@@ -72,6 +72,7 @@ def _load_dataset(cfg: RunConfig):
 
     return load_benchmark(
         cfg.data.bench, source=cfg.data.source, split=cfg.data.split,
+        include_open=cfg.data.include_open,
         **({"n": cfg.data.n, "seed": cfg.data.seed} if cfg.data.bench.startswith("synthetic") else {}),
     )
 

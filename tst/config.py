@@ -22,6 +22,8 @@ class DataConfig:
     seed: int = 0
     max_len: Optional[int] = None  # None = smallest bucket that fits
     include_context: bool = True
+    include_open: bool = True  # load open-answer questions (MMMU) — scored
+    # by held-out greedy decode + normalized exact match
     n: int = 256  # synthetic size
 
 

@@ -25,12 +25,16 @@ def load_benchmark(name: str, source=None, split=None, **kw):
 
     ``name`` may also be ``synthetic[:spec]`` for offline smoke runs.
     """
+    include_open = kw.pop("include_open", None)  # only MMMU has an open split
     if name.startswith("synthetic"):
-        from tst.data.synthetic import make_synthetic_mcq
+        from tst.data.synthetic import make_synthetic_mcq, make_synthetic_open
 
-        # "synthetic[:bias_fraction[:bias_kind]]"
+        # "synthetic[:bias_fraction[:bias_kind]]" | "synthetic-open[:bias]"
         parts = name.split(":")
         bias = float(parts[1]) if len(parts) > 1 else 0.0
+        if parts[0] == "synthetic-open":
+            return make_synthetic_open(n=kw.pop("n", 128), bias_fraction=bias,
+                                       seed=kw.pop("seed", 0))
         if len(parts) > 2:
             kw.setdefault("bias_kind", parts[2])
         return make_synthetic_mcq(n=kw.pop("n", 256), bias_fraction=bias, **kw)
@@ -42,4 +46,6 @@ def load_benchmark(name: str, source=None, split=None, **kw):
         raise KeyError(f"unknown benchmark {name!r}; have {sorted(ADAPTERS)}")
     mod = ADAPTERS[name]
     args = {} if split is None else {"split": split}
+    if name == "mmmu" and include_open is not None:
+        args["mcq_only"] = not include_open
     return mod.load(source, **args, **kw) if source else mod.load(**args, **kw)

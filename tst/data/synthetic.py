@@ -19,7 +19,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from tst.data.schema import MCQ, NUMERIC, BlindDataset, OPTION_LETTERS, Sample
+from tst.data.schema import MCQ, NUMERIC, OPEN, BlindDataset, OPTION_LETTERS, Sample
 
 _NOUNS = [
     "chair", "table", "sofa", "lamp", "window", "door", "shelf", "rug",
@@ -98,6 +98,44 @@ def make_synthetic_mcq(
     order = rng.permutation(n)
     samples = [samples[j] for j in order]
     return BlindDataset(name or f"synthetic_mcq_b{bias_fraction:g}_{bias_kind}", samples)
+
+
+def make_synthetic_open(
+    n: int = 128,
+    bias_fraction: float = 0.0,
+    seed: int = 0,
+) -> BlindDataset:
+    """Open-answer benchmark with a planted answer-prior shortcut.
+
+    Biased samples always have the same gold answer ("red" — a marginal
+    answer prior a blind model trained on the other folds reproduces);
+    unbiased samples draw a uniform random answer word. Exercises the
+    free-form decode → normalized-exact-match s(x) path (MMMU's open split,
+    reference README.md:35).
+    """
+    rng = np.random.default_rng(seed)
+    n_biased = int(round(n * bias_fraction))
+    samples: List[Sample] = []
+    for i in range(n):
+        biased = i < n_biased
+        answer = "red" if biased else _NOUNS[int(rng.integers(len(_NOUNS)))]
+        samples.append(
+            Sample(
+                id=f"syn-open-{seed}-{i:05d}",
+                question=(
+                    f"What is the most salient item near the "
+                    f"{_rand_phrase(rng, 2)} in the scene?"
+                ),
+                options=[],
+                answer=answer,
+                answer_type=OPEN,
+                category=_CATEGORIES[int(rng.integers(len(_CATEGORIES)))],
+                meta={"planted_bias": bool(biased)},
+            )
+        )
+    order = rng.permutation(n)
+    samples = [samples[j] for j in order]
+    return BlindDataset(f"synthetic_open_b{bias_fraction:g}", samples)
 
 
 def make_synthetic_numeric(n: int = 128, seed: int = 0) -> BlindDataset:

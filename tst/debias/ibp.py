@@ -246,10 +246,18 @@ class _SftRoundRunner:
         n_seeds = max(int(cfg.optim.n_seeds), 1)
         seed_probs = []
         seed_s_num = []
+        seed_s_open = []
         gold_values = np.array(
             [s.answer_value if s.answer_type == "numeric" else np.nan
              for s in self.ds], np.float32)
         has_numeric = bool(np.isfinite(gold_values[sub_idx]).any())
+        # open (free-form) rows are diagnosed/pruned too: held-out greedy
+        # decode -> normalized exact-match s(x) (MMMU open split)
+        gold_texts = [
+            s.answer if (s.answer_type == "open" and alive[i]) else None
+            for i, s in enumerate(self.ds)
+        ]
+        has_open = any(g is not None for g in gold_texts)
         for s_i in range(n_seeds):
             lora, opt = self.trainer.init_state(
                 jax.random.key(cfg.data.seed + 1 + r + 7919 * s_i))
@@ -263,11 +271,14 @@ class _SftRoundRunner:
                 self.params, lora, opt, self.tokens, self.loss_mask, batches,
                 all_pos=self.answer_pos, log_every=cfg.log_every,
             )
-            seed_probs.append(score_heldout_mcq(
-                self.params, lora, self.spec, self.lspec, self.tokens,
-                self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
-                fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
-            ))
+            if (self.tb.gold >= 0).any():
+                seed_probs.append(score_heldout_mcq(
+                    self.params, lora, self.spec, self.lspec, self.tokens,
+                    self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
+                    fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
+                ))
+            else:  # all-numeric/open dataset: no letter columns to read
+                seed_probs.append(np.zeros((len(self.ds), 1), np.float32))
             if has_numeric:
                 from tst.train.infer import score_heldout_numeric
 
@@ -278,6 +289,15 @@ class _SftRoundRunner:
                     use_pallas=self._on_tpu,
                 )
                 seed_s_num.append(s_num_i)
+            if has_open:
+                from tst.train.infer import score_heldout_open
+
+                _, s_open_i = score_heldout_open(
+                    self.params, lora, self.spec, self.lspec, self.tokens,
+                    self.answer_pos, gold_texts, fold_global, self.k,
+                    tokenizer=self.tokenizer, use_pallas=self._on_tpu,
+                )
+                seed_s_open.append(s_open_i)
         probs = np.mean(seed_probs, axis=0) if n_seeds > 1 else seed_probs[0]
         probs_sub = probs[sub_idx]
         gold_sub = self.tb.gold[sub_idx]
@@ -291,6 +311,9 @@ class _SftRoundRunner:
         if seed_s_num:
             s_num = np.nanmean(seed_s_num, axis=0)
             s_sub = np.where(np.isfinite(s_num[sub_idx]), s_num[sub_idx], s_sub)
+        if seed_s_open:
+            s_open = np.nanmean(seed_s_open, axis=0)
+            s_sub = np.where(np.isfinite(s_open[sub_idx]), s_open[sub_idx], s_sub)
         pred = probs_sub.argmax(-1)
         blind_acc = float(metrics.accuracy(pred, gold_sub))
         chance = float(metrics.chance_accuracy(nopt_sub))

@@ -46,6 +46,8 @@ def bias_scores(
     probs = np.asarray(probs, np.float32)
     gold = np.asarray(gold)
     n, c = probs.shape
+    if c == 0:  # dataset with no MCQ rows (all numeric/open)
+        return np.full(n, np.nan, np.float32)
     valid = gold >= 0
     g = np.clip(gold, 0, c - 1)
     gold_p = probs[np.arange(n), g]

@@ -76,6 +76,40 @@ def per_category_accuracy(pred, gold, cat_id, n_cats: int, mask=None) -> jnp.nda
     return jnp.where(counts > 0, hits / jnp.maximum(counts, 1.0), jnp.nan)
 
 
+#: Leading articles stripped by open-answer normalization (VQA-style match).
+_OPEN_ARTICLES = ("a ", "an ", "the ")
+
+
+def normalize_open_answer(text: str) -> str:
+    """Canonicalize a free-form answer for exact matching: lowercase, strip
+    punctuation, collapse whitespace, drop a leading article. This is the
+    standard short-answer normalization used by open-ended VQA/MMMU-style
+    scoring; the reference's open split (MMMU, reference README.md:35) is
+    matched this way."""
+    import re
+
+    t = str(text).strip().lower()
+    t = re.sub(r"[^\w\s.%-]", " ", t)
+    t = re.sub(r"(?<!\d)\.(?!\d)", " ", t)  # keep "." only inside numbers
+    t = re.sub(r"\s+", " ", t).strip()
+    for art in _OPEN_ARTICLES:
+        if t.startswith(art):
+            t = t[len(art):]
+            break
+    # "42." -> "42", "42.0" -> "42" for numeric-looking strings
+    m = re.fullmatch(r"(-?\d+)(?:\.0*)?", t)
+    if m:
+        t = m.group(1)
+    return t
+
+
+def open_exact_match(pred_text: str, gold_text: str) -> float:
+    """1.0 iff normalized texts match (the open-answer correctness and its
+    bias score s(x): a blind model reproducing the gold free-form answer is a
+    non-visual shortcut)."""
+    return float(normalize_open_answer(pred_text) == normalize_open_answer(gold_text))
+
+
 def blind_report(
     blind_acc: float,
     chance: float,

@@ -157,6 +157,25 @@ def greedy_decode(
     return out.T  # [B, max_new]
 
 
+def decode_text(
+    gen_tokens: np.ndarray,  # greedy continuations [B, T]
+    tokenizer,
+) -> list:
+    """Decode continuations to text, truncated at the first EOS token.
+
+    (ByteTokenizer.decode silently drops ids >= 256, so without truncation
+    the garbage generated *after* EOS would leak into the answer string.)
+    """
+    eos = getattr(tokenizer, "eos_id", None)
+    out = []
+    for ids in np.asarray(gen_tokens):
+        ids = [int(t) for t in ids]
+        if eos is not None and eos in ids:
+            ids = ids[: ids.index(eos)]
+        out.append(tokenizer.decode(ids).strip())
+    return out
+
+
 def decode_numeric(
     texts_tokens: np.ndarray,  # decoded token ids [B, T]
     tokenizer,

@@ -19,7 +19,7 @@ each held-out fold" [north-star]. Design (SURVEY.md §3.1 hot loop 2):
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +156,40 @@ def score_heldout_mcq(
     return letter_probs(np.asarray(ll), n_options, idx, valid, tokens.shape[0])
 
 
+def _decode_heldout_rows(
+    base, lora_k, spec, lora_spec, tokens, answer_pos, rows: np.ndarray,
+    fold_id: np.ndarray, k: int, max_new: int, use_pallas: bool,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy-decode the given rows with each row's held-out fold model.
+
+    Rows are padded to a common [k, M] grid; one vmapped decode program runs
+    all folds. Returns (gen [k, M, max_new], idx [k, M], valid [k, M]).
+    """
+    from tst.models.decode import greedy_decode
+
+    rows_by_fold = [rows[fold_id[rows] == f] for f in range(k)]
+    m = max(max((len(r) for r in rows_by_fold), default=1), 1)
+    idx = np.zeros((k, m), np.int32)
+    valid = np.zeros((k, m), bool)
+    for f, r in enumerate(rows_by_fold):
+        idx[f, : len(r)] = r
+        valid[f, : len(r)] = True
+
+    prompt_len = answer_pos + 1  # decode continues right after the marker
+
+    def per_fold(lora, idx_f):
+        return greedy_decode(
+            base, tokens[idx_f], prompt_len[idx_f], max_new, spec,
+            lora=lora, lora_spec=lora_spec, use_pallas=use_pallas,
+        )
+
+    if lora_k is None:
+        gen = jax.jit(jax.vmap(lambda i: per_fold(None, i)))(jnp.asarray(idx))
+    else:
+        gen = jax.jit(jax.vmap(per_fold))(lora_k, jnp.asarray(idx))
+    return np.asarray(gen), idx, valid  # [k, M, max_new]
+
+
 def score_heldout_numeric(
     base,
     lora_k,
@@ -178,7 +212,7 @@ def score_heldout_numeric(
     gold number — a non-visual shortcut (reference README.md:35).
     """
     from tst.eval.metrics import MRA_THRESHOLDS
-    from tst.models.decode import decode_numeric, greedy_decode
+    from tst.models.decode import decode_numeric
 
     n = tokens.shape[0]
     numeric_rows = np.flatnonzero(np.isfinite(gold_values))
@@ -186,28 +220,10 @@ def score_heldout_numeric(
     s_num = np.full(n, np.nan, np.float32)
     if len(numeric_rows) == 0:
         return pred, s_num
-    # pad each fold's numeric held-out rows to a common grid
-    rows_by_fold = [numeric_rows[fold_id[numeric_rows] == f] for f in range(k)]
-    m = max(max((len(r) for r in rows_by_fold), default=1), 1)
-    idx = np.zeros((k, m), np.int32)
-    valid = np.zeros((k, m), bool)
-    for f, r in enumerate(rows_by_fold):
-        idx[f, : len(r)] = r
-        valid[f, : len(r)] = True
-
-    prompt_len = answer_pos + 1  # decode continues right after the marker
-
-    def per_fold(lora, idx_f):
-        return greedy_decode(
-            base, tokens[idx_f], prompt_len[idx_f], max_new, spec,
-            lora=lora, lora_spec=lora_spec, use_pallas=use_pallas,
-        )
-
-    if lora_k is None:
-        gen = jax.jit(jax.vmap(lambda i: per_fold(None, i)))(jnp.asarray(idx))
-    else:
-        gen = jax.jit(jax.vmap(per_fold))(lora_k, jnp.asarray(idx))
-    gen = np.asarray(gen)  # [k, M, max_new]
+    gen, idx, valid = _decode_heldout_rows(
+        base, lora_k, spec, lora_spec, tokens, answer_pos, numeric_rows,
+        fold_id, k, max_new, use_pallas,
+    )
     for f in range(k):
         rows = idx[f][valid[f]]
         vals = decode_numeric(gen[f][valid[f]], tokenizer)
@@ -218,6 +234,50 @@ def score_heldout_numeric(
             [(rel < (1.0 - th)).astype(np.float32) for th in MRA_THRESHOLDS], axis=0
         )
     return pred, s_num
+
+
+def score_heldout_open(
+    base,
+    lora_k,
+    spec: ModelSpec,
+    lora_spec: Optional[LoraSpec],
+    tokens: jnp.ndarray,
+    answer_pos: jnp.ndarray,
+    gold_texts: Sequence[Optional[str]],  # [N]; None for non-open rows
+    fold_id: np.ndarray,
+    k: int,
+    tokenizer=None,
+    max_new: int = 16,
+    use_pallas: bool = False,
+) -> Tuple[list, np.ndarray]:
+    """Greedy-decode open (free-form) answers with each row's held-out fold
+    model and score by normalized exact match (VERDICT r1 item 5: MMMU's open
+    split, reference README.md:35, previously had no s(x) path).
+
+    Returns (pred_texts [N] with None on non-open rows, s_open [N] — 1.0 when
+    the blind model reproduces the gold answer, NaN on non-open rows).
+    """
+    from tst.eval.metrics import open_exact_match
+    from tst.models.decode import decode_text
+
+    n = tokens.shape[0]
+    open_rows = np.array(
+        [i for i, g in enumerate(gold_texts) if g is not None], np.int32)
+    pred_texts: list = [None] * n
+    s_open = np.full(n, np.nan, np.float32)
+    if len(open_rows) == 0:
+        return pred_texts, s_open
+    gen, idx, valid = _decode_heldout_rows(
+        base, lora_k, spec, lora_spec, tokens, answer_pos, open_rows,
+        fold_id, k, max_new, use_pallas,
+    )
+    for f in range(k):
+        rows = idx[f][valid[f]]
+        texts = decode_text(gen[f][valid[f]], tokenizer)
+        for r, t in zip(rows, texts):
+            pred_texts[r] = t
+            s_open[r] = open_exact_match(t, gold_texts[r])
+    return pred_texts, s_open
 
 
 def score_all_mcq(

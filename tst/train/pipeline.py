@@ -23,7 +23,8 @@ from tst.eval import metrics
 from tst.models.decoder import ModelSpec, init_params, spec_by_name
 from tst.models.lora import LoraSpec
 from tst.runtime import mesh as mesh_mod
-from tst.train.infer import score_all_mcq, score_heldout_mcq, score_heldout_numeric
+from tst.train.infer import (score_all_mcq, score_heldout_mcq,
+                             score_heldout_numeric, score_heldout_open)
 from tst.train.sft import FoldTrainer, make_fold_batches
 
 
@@ -169,7 +170,11 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
 
     on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
 
+    has_mcq = bool((tb.gold >= 0).any())
+
     def score_now(lora_now):
+        if not has_mcq:  # all-numeric/open dataset: no letter columns to read
+            return np.zeros((tb.n, 1), np.float32)
         return score_heldout_mcq(
             params, lora_now, spec, lspec, tokens, answer_pos,
             tb.option_token_ids, tb.n_options, fold_id, k, use_pallas=on_tpu,
@@ -252,6 +257,18 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         s_x = np.where(np.isfinite(s_num), s_num, s_x)
         numeric_mra = float(metrics.mra(np.nan_to_num(pred_values), gold_values))
 
+    # open (free-form) samples: held-out greedy decode → normalized
+    # exact-match s(x) (MMMU's open split, reference README.md:35)
+    gold_texts = [s.answer if s.answer_type == "open" else None for s in ds]
+    open_acc = None
+    if any(g is not None for g in gold_texts):
+        _, s_open = score_heldout_open(
+            params, lora, spec, lspec, tokens, answer_pos, gold_texts,
+            fold_id, k, tokenizer=tokenizer, use_pallas=on_tpu,
+        )
+        s_x = np.where(np.isfinite(s_open), s_open, s_x)
+        open_acc = float(np.nanmean(s_open))
+
     blind_acc = float(metrics.accuracy(pred, tb.gold))
     chance = float(metrics.chance_accuracy(tb.n_options))
     fold_accs = [
@@ -275,6 +292,9 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     if numeric_mra is not None:
         report["numeric_blind_mra"] = numeric_mra
         report["n_numeric"] = int(np.isfinite(gold_values).sum())
+    if open_acc is not None:
+        report["open_blind_accuracy"] = round(open_acc, 4)
+        report["n_open"] = int(sum(g is not None for g in gold_texts))
     report.update(
         n_samples=len(ds),
         n_mcq=int(is_mcq.sum()),
@@ -347,6 +367,17 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
     blind_acc = float(metrics.accuracy(pred, tb.gold))
     chance = float(metrics.chance_accuracy(tb.n_options))
     report = metrics.blind_report(blind_acc, chance, name=ds.name)
+    gold_texts = [s.answer if s.answer_type == "open" else None for s in ds]
+    if any(g is not None for g in gold_texts):
+        # with an adapter: decode open answers through the same fold-0 adapter
+        _, s_open = score_heldout_open(
+            params, one if adapter_dir else None, spec,
+            lspec if adapter_dir else None, tokens, answer_pos, gold_texts,
+            fold_id=np.zeros(tb.n, np.int32), k=1, tokenizer=tokenizer,
+            use_pallas=on_tpu,
+        )
+        report["open_blind_accuracy"] = round(float(np.nanmean(s_open)), 4)
+        report["n_open"] = int(sum(g is not None for g in gold_texts))
     report.update(n_samples=len(ds), model=spec.name,
                   zero_shot=adapter_dir is None,
                   adapter=adapter_dir,
