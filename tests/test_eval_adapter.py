@@ -40,3 +40,24 @@ class TestEvalWithAdapter:
         assert zero_shot["zero_shot"] is True
         assert (with_adapter["blind_accuracy"]
                 > zero_shot["blind_accuracy"] + 0.2), (with_adapter, zero_shot)
+
+        # VERDICT r1 item 8: k comes from the checkpoint stamp, not the
+        # serving config — loading with a DIFFERENT cfg.data.k must work
+        cfg_wrong_k = RunConfig.from_json(cfg.to_json())
+        cfg_wrong_k.data.k = 5
+        served = run_blind_eval(eval_ds, cfg_wrong_k, adapter_dir=adapter)
+        assert served["blind_accuracy"] == with_adapter["blind_accuracy"]
+
+        # fold selection: fold 1 and the fold-mean ensemble both serve
+        f1 = run_blind_eval(eval_ds, cfg, adapter_dir=adapter, fold="1")
+        assert f1["adapter_fold"] == "1"
+        fm = run_blind_eval(eval_ds, cfg, adapter_dir=adapter, fold="mean")
+        assert fm["blind_accuracy"] > zero_shot["blind_accuracy"]
+        with pytest.raises(ValueError, match="out of range"):
+            run_blind_eval(eval_ds, cfg, adapter_dir=adapter, fold="7")
+
+        # model-name mismatch is an error, not silently wrong serving
+        cfg_wrong_model = RunConfig.from_json(cfg.to_json())
+        cfg_wrong_model.model.name = "small"
+        with pytest.raises(ValueError, match="trained on model"):
+            run_blind_eval(eval_ds, cfg_wrong_model, adapter_dir=adapter)

@@ -129,3 +129,34 @@ class TestIBPSftFastPath:
 
         removed = BlindDataset.load_jsonl(f"{cfg.out_dir}/removed.jsonl")
         assert np.mean([s.meta["planted_bias"] for s in removed]) > 0.6
+
+
+class TestIBPScoreEpochs:
+    """optim.score_epochs now composes with the IBP loop (VERDICT r1 weak #3):
+    mid-training snapshots are scored into s(x) with the same pinned-shape
+    scorer program."""
+
+    @pytest.mark.slow
+    def test_score_epochs_runs_and_prunes(self):
+        cfg = RunConfig()
+        cfg.data.k = 2
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.lora.rank = 4
+        cfg.lora.alpha = 8.0
+        cfg.lora.targets = ("q_proj", "v_proj")
+        cfg.optim.lr = 5e-3
+        cfg.optim.epochs = 4
+        cfg.optim.batch_size = 16
+        cfg.optim.score_epochs = (2,)  # mid-training snapshot joins s(x)
+        cfg.ibp.diagnostic = "sft"
+        cfg.ibp.rounds = 2
+        cfg.ibp.prune_rate = 0.25
+        cfg.ibp.stop_epsilon = 0.05
+        cfg.out_dir = tempfile.mkdtemp()
+        ds = make_synthetic_mcq(n=64, bias_fraction=0.5, bias_kind="position",
+                                seed=1)
+        rep = run_ibp(ds, cfg)
+        assert rep["rounds_run"] >= 1
+        assert rep["per_round"][0]["blind_accuracy"] > 0.4

@@ -125,7 +125,7 @@ def cmd_eval_blind(args) -> int:
 
     cfg = _resolve(args)
     ds = _load_dataset(cfg)
-    report = run_blind_eval(ds, cfg, adapter_dir=args.adapter)
+    report = run_blind_eval(ds, cfg, adapter_dir=args.adapter, fold=args.fold)
     print(json.dumps(report, indent=2, default=float))
     return 0
 
@@ -227,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--adapter", default=None,
                             help="Orbax LoRA checkpoint dir to score with "
                                  "(default: zero-shot base model)")
+            sp.add_argument("--fold", default="0",
+                            help="which fold's adapter serves: an index, or "
+                                 "'mean' to average adapters across folds")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("export")
     sp.add_argument("run_dir")

@@ -187,12 +187,14 @@ class _SftRoundRunner:
             self.mesh = mesh_mod.from_config(cfg.mesh)
         self.spec, self.params = build_model(cfg, self.tokenizer, self.mesh)
         self.lspec = lora_spec_from_cfg(cfg, self.spec.dtype)
-        if cfg.optim.score_epochs:
-            raise NotImplementedError(
-                "optim.score_epochs is not supported inside the IBP loop "
-                "(per-round programs score the final epoch only); use "
-                "optim.n_seeds for s(x) stability instead"
-            )
+        #: mid-training epochs whose held-out probs average into s(x)
+        #: (same epoch/seed aggregation as the one-shot diagnostic — the
+        #: scorer program shape is pinned by pad_m, so extra scoring passes
+        #: reuse the same compiled program)
+        self.score_after = {
+            int(e) for e in cfg.optim.score_epochs
+            if 1 <= int(e) < cfg.optim.epochs
+        }
         self.tokens, self.loss_mask, self.answer_pos = _device_data(self.tb, self.mesh)
         self.t_max = int(np.max(self.tb.lengths - self.tb.answer_pos - 1))
         # Round-0 sizing pins program shapes. pad_m must bound EVERY round's
@@ -258,6 +260,17 @@ class _SftRoundRunner:
             for i, s in enumerate(self.ds)
         ]
         has_open = any(g is not None for g in gold_texts)
+        def mcq_score(lora_now):
+            if not (self.tb.gold >= 0).any():
+                # all-numeric/open dataset: no letter columns to read
+                return np.zeros((len(self.ds), 1), np.float32)
+            return score_heldout_mcq(
+                self.params, lora_now, self.spec, self.lspec, self.tokens,
+                self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
+                fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
+            )
+
+        steps_per_epoch = max(batches.shape[0] // max(cfg.optim.epochs, 1), 1)
         for s_i in range(n_seeds):
             lora, opt = self.trainer.init_state(
                 jax.random.key(cfg.data.seed + 1 + r + 7919 * s_i))
@@ -267,18 +280,21 @@ class _SftRoundRunner:
                     cfg.data.seed + r + 31 * s_i, batch_multiple=cfg.mesh.data,
                     include_mask=alive,
                 )
-            lora, opt, log = self.trainer.fit(
-                self.params, lora, opt, self.tokens, self.loss_mask, batches,
-                all_pos=self.answer_pos, log_every=cfg.log_every,
-            )
-            if (self.tb.gold >= 0).any():
-                seed_probs.append(score_heldout_mcq(
-                    self.params, lora, self.spec, self.lspec, self.tokens,
-                    self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
-                    fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
-                ))
-            else:  # all-numeric/open dataset: no letter columns to read
-                seed_probs.append(np.zeros((len(self.ds), 1), np.float32))
+            # epoch-chunked training so mid-training snapshots can be scored
+            # into s(x) (optim.score_epochs), same as the one-shot diagnostic
+            for e in range(cfg.optim.epochs):
+                chunk = batches[e * steps_per_epoch: (e + 1) * steps_per_epoch]
+                if e == cfg.optim.epochs - 1:  # last epoch takes any remainder
+                    chunk = batches[e * steps_per_epoch:]
+                if chunk.shape[0] == 0:
+                    continue
+                lora, opt, log = self.trainer.fit(
+                    self.params, lora, opt, self.tokens, self.loss_mask, chunk,
+                    all_pos=self.answer_pos, log_every=cfg.log_every,
+                )
+                if (e + 1) in self.score_after:
+                    seed_probs.append(mcq_score(lora))
+            seed_probs.append(mcq_score(lora))
             if has_numeric:
                 from tst.train.infer import score_heldout_numeric
 
@@ -298,7 +314,7 @@ class _SftRoundRunner:
                     tokenizer=self.tokenizer, use_pallas=self._on_tpu,
                 )
                 seed_s_open.append(s_open_i)
-        probs = np.mean(seed_probs, axis=0) if n_seeds > 1 else seed_probs[0]
+        probs = np.mean(seed_probs, axis=0) if len(seed_probs) > 1 else seed_probs[0]
         probs_sub = probs[sub_idx]
         gold_sub = self.tb.gold[sub_idx]
         nopt_sub = self.tb.n_options[sub_idx]

@@ -321,12 +321,51 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     return report
 
 
+def _read_adapter_meta(adapter_dir: str, cfg: RunConfig, dtype) -> Tuple[int, LoraSpec]:
+    """(k, LoraSpec) for a serving checkpoint, from its extra.json stamp.
+
+    Checkpoints written by FoldTrainer record k / model / LoRA geometry
+    (FoldTrainer.ckpt_extra), so an adapter trained with ANY k restores
+    correctly regardless of the serving config. Legacy checkpoints without
+    the stamp fall back to the serving config (the old guessing behavior).
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(adapter_dir, "extra.json")
+    if not os.path.exists(meta_path):
+        from tst.train.pipeline import lora_spec_from_cfg  # self-import ok
+
+        return cfg.data.k, lora_spec_from_cfg(cfg, dtype)
+    with open(meta_path) as f:
+        extra = json.load(f)
+    if "k" not in extra:  # legacy stamp with only {"step": N}
+        return cfg.data.k, lora_spec_from_cfg(cfg, dtype)
+    if extra.get("model_name") and cfg.model.name != extra["model_name"]:
+        raise ValueError(
+            f"adapter {adapter_dir} was trained on model "
+            f"{extra['model_name']!r} but serving config says "
+            f"{cfg.model.name!r} — pass the matching --set model.name"
+        )
+    lspec = LoraSpec(
+        rank=int(extra["lora_rank"]), alpha=float(extra["lora_alpha"]),
+        targets=tuple(extra["lora_targets"]), dtype=dtype,
+    )
+    return int(extra["k"]), lspec
+
+
 def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
-                   adapter_dir: Optional[str] = None) -> Dict[str, Any]:
+                   adapter_dir: Optional[str] = None,
+                   fold: str = "0") -> Dict[str, Any]:
     """Blind scoring of every sample with the base model — the zero-shot
     baseline leg of the vision-blind gap (SURVEY.md §3.4) — or, with
     ``adapter_dir``, with a trained LoRA checkpoint (the serving leg:
-    adapters trained once are evaluated anywhere)."""
+    adapters trained once are evaluated anywhere).
+
+    ``fold`` selects which trained adapter serves: an integer index, or
+    ``"mean"`` to average adapter weights across folds (cheap ensemble —
+    sensible because all folds share the zero-init-B LoRA parametrization).
+    """
     t_start = time.time()
     tokenizer = build_tokenizer(cfg)
     tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
@@ -342,17 +381,23 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
         from tst.models.lora import init_lora
         from tst.train.sft import make_optimizer
 
-        lspec = lora_spec_from_cfg(cfg, spec.dtype)
-        # template pytrees with the fold leading axis the checkpoint carries
-        k_guess = cfg.data.k
-        keys = jax.random.split(jax.random.key(0), k_guess)
+        # template pytrees with the fold leading axis the checkpoint carries —
+        # k and LoRA geometry come from the checkpoint's own stamp, not the
+        # serving config (VERDICT r1 item 8)
+        k_ckpt, lspec = _read_adapter_meta(adapter_dir, cfg, spec.dtype)
+        keys = jax.random.split(jax.random.key(0), k_ckpt)
         like_lora = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[init_lora(key, spec, lspec) for key in keys])
         like_opt = jax.vmap(make_optimizer(1e-4, 10).init)(like_lora)
         lora_k, _, _ = load_train_state(adapter_dir, like_lora, like_opt)
-        # score each sample with fold 0's adapter (single-adapter serving)
-        one = jax.tree.map(lambda x: x[:1], lora_k)
+        if fold == "mean":
+            one = jax.tree.map(lambda x: x.mean(0, keepdims=True), lora_k)
+        else:
+            f = int(fold)
+            if not 0 <= f < k_ckpt:
+                raise ValueError(f"--fold {f} out of range: checkpoint has k={k_ckpt}")
+            one = jax.tree.map(lambda x: x[f : f + 1], lora_k)
         probs = score_heldout_mcq(
             params, one, spec, lspec, tokens, answer_pos,
             tb.option_token_ids, tb.n_options,
@@ -381,6 +426,7 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
     report.update(n_samples=len(ds), model=spec.name,
                   zero_shot=adapter_dir is None,
                   adapter=adapter_dir,
+                  adapter_fold=fold if adapter_dir else None,
                   wall_seconds=round(time.time() - t_start, 2))
     from tst.io import outputs
 

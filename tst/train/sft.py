@@ -204,6 +204,19 @@ class FoldTrainer:
         self.ring_mesh = mesh if (ring and mesh is not None) else None
         self._step_fn = self._build_step()
 
+    def ckpt_extra(self, **kw) -> Dict[str, Any]:
+        """Host metadata stamped into every checkpoint's extra.json so
+        serving (eval-blind --adapter) can rebuild the exact adapter pytree
+        instead of guessing k / LoRA geometry from the serving config."""
+        return {
+            "k": self.k,
+            "model_name": self.spec.name,
+            "lora_rank": self.lora_spec.rank,
+            "lora_alpha": self.lora_spec.alpha,
+            "lora_targets": list(self.lora_spec.targets),
+            **kw,
+        }
+
     def init_state(self, rng: jax.Array) -> Tuple[Params, Params]:
         """(stacked lora [k,...], stacked opt state). Per-fold RNGs differ so
         fold adapters start decorrelated."""
@@ -315,7 +328,7 @@ class FoldTrainer:
                 from tst.aux import ckpt as ckpt_mod
 
                 ckpt_mod.save_train_state(checkpoint_dir, lora, opt_state,
-                                          extra={"step": t + 1})
+                                          extra=self.ckpt_extra(step=t + 1))
             if fail_after_step is not None and t + 1 >= fail_after_step:
                 raise RuntimeError(f"injected failure after step {t + 1}")
         # hard sync (block_until_ready may return early under remote PJRT)
@@ -324,7 +337,7 @@ class FoldTrainer:
             from tst.aux import ckpt as ckpt_mod
 
             ckpt_mod.save_train_state(checkpoint_dir, lora, opt_state,
-                                      extra={"step": int(batches.shape[0])})
+                                      extra=self.ckpt_extra(step=int(batches.shape[0])))
         log.steps = int(batches.shape[0])
         log.wall_seconds = time.time() - t0
         n_samples = int(batches.shape[0]) * int(batches.shape[1]) * int(batches.shape[2])
