@@ -177,12 +177,40 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _load_reference_kept(path: str, bench: Optional[str]) -> List[str]:
+    """Sample ids of a reference kept-split file.
+
+    Two accepted layouts (docs/PARITY.md):
+      * our own jsonl schema (a BlindDataset dump);
+      * with ``--bench <name>``, the RAW HuggingFace row schema of that
+        benchmark — i.e. the released debiased split as downloaded
+        (reference README.md:14), parsed through the same adapter that
+        parsed the original run, so sample ids line up by construction.
+        Rows must carry an explicit id field (the released artifacts do).
+    """
+    if bench:
+        from tst.data.adapters import ADAPTERS
+
+        if bench not in ADAPTERS:
+            raise KeyError(f"unknown benchmark {bench!r}; have {sorted(ADAPTERS)}")
+        rows = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+        samples = ADAPTERS[bench].rows_to_samples(rows)
+        return [s.id for s in samples]
+    from tst.data.schema import BlindDataset
+
+    return [s.id for s in BlindDataset.load_jsonl(path)]
+
+
 def cmd_compare(args) -> int:
     """Ranking-parity report: our s(x) vs a reference kept-split (and,
     when available, a reference s(x) vector) — the BASELINE.json metric."""
     import numpy as np
 
-    from tst.data.schema import BlindDataset
     from tst.eval.parity import membership_agreement, spearman
 
     ids, sx = [], []
@@ -192,8 +220,8 @@ def cmd_compare(args) -> int:
             ids.append(row["id"])
             sx.append(row["s_x"] if row["s_x"] is not None else float("nan"))
     sx = np.asarray(sx, np.float32)
-    kept = BlindDataset.load_jsonl(args.reference_kept)
-    report = membership_agreement(sx, ids, [s.id for s in kept])
+    kept_ids = _load_reference_kept(args.reference_kept, args.bench)
+    report = membership_agreement(sx, ids, kept_ids)
     if args.reference_sx:
         ref = {}
         with open(args.reference_sx) as f:
@@ -240,6 +268,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("run_dir", help="run dir containing sx.jsonl")
     sp.add_argument("--reference-kept", required=True,
                     help="jsonl of the reference's kept (debiased) samples")
+    sp.add_argument("--bench", default=None,
+                    help="parse --reference-kept as RAW HF rows of this "
+                         "benchmark (e.g. vsi_bench for the released "
+                         "VSI-Bench-Debiased) instead of our jsonl schema")
     sp.add_argument("--reference-sx", default=None,
                     help="optional jsonl with a reference s_x column for Spearman")
     sp.set_defaults(fn=cmd_compare)

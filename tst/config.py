@@ -33,6 +33,9 @@ class RFConfig:
     max_depth: Optional[int] = 12
     backend: str = "jax"  # "jax" | "sklearn"
     score_rule: str = "gold_prob"
+    cross_check: bool = True  # diagnose-sft also runs the (cheap, host-side)
+    # RF auditor and reports Spearman(s_x_rf, s_x_sft) — the self-measured
+    # analogue of the cross-implementation parity metric
 
 
 @dataclasses.dataclass

@@ -289,6 +289,22 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     report["per_category_blind_accuracy"] = per_category
     if sx_seed_spearman is not None:
         report["sx_seed_spearman"] = round(sx_seed_spearman, 4)
+
+    # RF-vs-SFT cross-diagnostic agreement (the self-measured analogue of the
+    # BASELINE.json "s(x) Spearman" parity metric): the fast interpretable
+    # auditor and the SFT engine should rank the same samples as biased.
+    # sklearn backend keeps this host-side (no extra XLA programs).
+    if cfg.rf.cross_check and has_mcq:
+        from tst.diagnose.rf import run_rf_diagnostic
+        from tst.eval.parity import spearman as _spearman
+
+        rf_d = run_rf_diagnostic(
+            ds, k=cfg.data.k, seed=cfg.data.seed,
+            n_estimators=cfg.rf.n_estimators, max_depth=cfg.rf.max_depth,
+            backend="sklearn", score_rule=cfg.rf.score_rule,
+        )
+        report["rf_sft_spearman"] = round(_spearman(rf_d.s_x, s_x), 4)
+        report["rf_blind_accuracy"] = round(float(rf_d.blind_accuracy), 4)
     if numeric_mra is not None:
         report["numeric_blind_mra"] = numeric_mra
         report["n_numeric"] = int(np.isfinite(gold_values).sum())
