@@ -1,8 +1,10 @@
 """HF checkpoint → stacked-layer sharded pytree loading.
 
 SURVEY.md §7 hard part 2: load an 8B HF checkpoint without host OOM by
-streaming tensor-by-tensor (safetensors lazy slices) into preallocated
-stacked-layer buffers, then device_put per leaf with its target sharding.
+streaming tensor-by-tensor (safetensors lazy slices): each layer tensor is
+converted/quantized/sharded on arrival and written into a preallocated
+stacked DEVICE buffer via a donated in-place update — host never holds more
+than one tensor.
 
 Name mapping covers the Llama/Qwen2 families (``LlamaForCausalLM`` /
 ``Qwen2ForCausalLM``). Our convention: linear weights are [in, out]
@@ -60,27 +62,58 @@ def _to_numpy(t) -> np.ndarray:
     return np.asarray(t)
 
 
+def _stacked_zeros_like(slice_leaf, n_layers: int):
+    """Device-allocated [L, ...] zeros matching a [1, ...] slice's dtype and
+    sharding — built under jit with out_shardings so no host-side full-size
+    buffer ever exists."""
+
+    def alloc(s):
+        shape = (n_layers,) + tuple(s.shape[1:])
+        return jax.jit(lambda: jnp.zeros(shape, s.dtype),
+                       out_shardings=s.sharding)()
+
+    return jax.tree.map(alloc, slice_leaf)
+
+
+#: buf[i] = sl[0]; the stacked buffer is donated so XLA writes in place
+#: (jit caches one program per leaf shape/dtype/sharding; i stays traced so
+#: L layers share one program per family)
+_write_layer_slice = jax.jit(
+    lambda buf, sl, i: jax.lax.dynamic_update_index_in_dim(buf, sl[0], i, 0),
+    donate_argnums=0,
+)
+
+
 def convert_state_dict(
     sd: Mapping[str, Any],
     spec: ModelSpec,
     dtype=None,
     put: Optional[Callable[[str, np.ndarray], jax.Array]] = None,
 ) -> Params:
-    """Convert a full HF state dict (name → tensor) to our pytree.
+    """Convert an HF state dict (name → tensor) to our pytree, STREAMING:
+    each per-layer tensor is converted/quantized/sharded by ``put`` as a
+    [1, ...] slice the moment it arrives and written into a preallocated
+    stacked device buffer (donated dynamic_update_index_in_dim) — peak host
+    memory is ONE tensor, never a full-model f32 stack (VERDICT r1 item 7;
+    an 8B all-family f32 host stack is ~30 GB).
 
     ``put(path, array)`` lets callers control placement/sharding per leaf;
-    default is plain jnp.asarray.
+    default is plain jnp.asarray. For stacked layer families it receives
+    [1, ...] slices (same rank as the stacked leaf, so sharding specs apply
+    unchanged).
     """
     dt = dtype or spec.dtype
     put = put or (lambda path, a: jnp.asarray(a, dt))
     L = spec.n_layers
 
-    layers_np: Dict[str, np.ndarray] = {}
+    layers_dev: Dict[str, Any] = {}
 
-    def layer_buf(key: str, shape):
-        if key not in layers_np:
-            layers_np[key] = np.zeros((L,) + shape, np.float32)
-        return layers_np[key]
+    def write_layer(key: str, i: int, a: np.ndarray) -> None:
+        sl = put(f"layers.{key}", a[None])  # convert/quantize/shard one layer
+        if key not in layers_dev:
+            layers_dev[key] = _stacked_zeros_like(sl, L)
+        layers_dev[key] = jax.tree.map(
+            lambda buf, s: _write_layer_slice(buf, s, i), layers_dev[key], sl)
 
     params: Params = {}
     for name, tensor in sd.items():
@@ -101,9 +134,8 @@ def convert_state_dict(
                 continue  # e.g. rotary inv_freq buffers
             key, transpose = hit
             a = _to_numpy(tensor)
-            a = a.T if transpose else a
-            layer_buf(key, a.shape)[i] = a
-    params["layers"] = {k: put(f"layers.{k}", v) for k, v in sorted(layers_np.items())}
+            write_layer(key, i, a.T if transpose else a)
+    params["layers"] = {k: layers_dev[k] for k in sorted(layers_dev)}
     _check_shapes(params, spec)
     return params
 
@@ -142,8 +174,9 @@ def load_checkpoint(
     """Stream a safetensors checkpoint directory into the param pytree.
 
     Handles single-file and sharded (``model.safetensors.index.json``)
-    layouts. Tensors are read lazily one at a time — peak host memory is one
-    stacked buffer per layer-param family, never the whole checkpoint twice.
+    layouts. Tensors are read lazily one at a time and streamed straight to
+    device buffers — peak host memory is ONE tensor (asserted by
+    tests/test_streaming_load.py), never the whole checkpoint.
     """
     from safetensors import safe_open
 
