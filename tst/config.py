@@ -45,6 +45,8 @@ class ModelConfig:
     dtype: str = "bfloat16"
     tokenizer: str = "byte"  # "byte" | path to HF tokenizer
     use_pallas: bool = True  # fused kernels on TPU; XLA fallback otherwise
+    fused_mlp: bool = False  # Pallas fused SwiGLU MLP (B12); measured slower
+    # than XLA's own fusion in the train step on v5e — see docs/RESULTS.md
     remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
     quantize: str = "none"  # "none" | "int8" — weights-only base quantization
     # (int8 halves base HBM: Llama-3-8B fits a single 16 GB v5e chip)

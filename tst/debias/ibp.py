@@ -220,6 +220,7 @@ class _SftRoundRunner:
             use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
             remat=cfg.model.remat, mesh=self.mesh, t_max=self.t_max,
             ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
+            fused_mlp=cfg.model.fused_mlp,
         )
         self._on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
 

@@ -159,6 +159,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
         remat=cfg.model.remat, mesh=mesh, t_max=t_max,
         ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
+        fused_mlp=cfg.model.fused_mlp,
     )
     lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
     tokens, loss_mask, answer_pos = _device_data(tb, mesh)

@@ -48,11 +48,12 @@ def sft_loss(
     use_pallas: bool = False,
     remat: bool = False,
     ring_mesh=None,
+    fused_mlp: bool = False,
 ) -> jnp.ndarray:
     """Prompt-masked causal-LM cross entropy (mean over target tokens)."""
     logits = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
                          use_pallas=use_pallas, remat=remat,
-                         ring_mesh=ring_mesh)  # [B, S, V] f32
+                         ring_mesh=ring_mesh, fused_mlp=fused_mlp)  # [B, S, V] f32
     labels = tokens[:, 1:]
     w = loss_mask[:, 1:]
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
@@ -72,6 +73,7 @@ def sft_loss_window(
     use_pallas: bool = False,
     remat: bool = False,
     ring_mesh=None,
+    fused_mlp: bool = False,
 ) -> jnp.ndarray:
     """Same loss as :func:`sft_loss`, but the vocab projection runs only on
     the ``t_max``-token answer window instead of all S positions.
@@ -85,7 +87,7 @@ def sft_loss_window(
     """
     h = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
                     use_pallas=use_pallas, remat=remat, return_hidden=True,
-                    ring_mesh=ring_mesh)
+                    ring_mesh=ring_mesh, fused_mlp=fused_mlp)
     s = tokens.shape[1]
     rows = answer_pos[:, None] + jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [B, T]
     in_range = rows <= s - 2
@@ -189,6 +191,7 @@ class FoldTrainer:
         ring: bool = False,
         b1: float = 0.9,
         b2: float = 0.999,
+        fused_mlp: bool = False,
     ):
         self.spec = spec
         self.lora_spec = lora_spec
@@ -198,6 +201,9 @@ class FoldTrainer:
         self.tx = make_optimizer(lr, total_steps, warmup_frac, weight_decay, b1, b2)
         self.use_pallas = use_pallas
         self.remat = remat
+        #: fuse the SwiGLU MLP into one Pallas kernel (B12; only applies on
+        #: the pallas path and when no LoRA adapter targets the MLP)
+        self.fused_mlp = fused_mlp
         #: answer-window length; None = full-sequence loss (debug/fallback)
         self.t_max = t_max
         #: sequence-parallel training: ring attention over mesh's "seq" axis
@@ -240,13 +246,14 @@ class FoldTrainer:
         if self.ring_mesh is not None:
             ring_key = (self.ring_mesh.axis_names, self.ring_mesh.devices.shape)
         key = (self.spec, self.lora_spec, self._opt_key, self.use_pallas,
-               self.remat, self.t_max, ring_key)
+               self.remat, self.t_max, ring_key, self.fused_mlp)
         cached = _STEP_CACHE.get(key)
         if cached is not None:
             return cached
 
         spec, lspec = self.spec, self.lora_spec
         use_pallas, remat = self.use_pallas, self.remat
+        fused_mlp = self.fused_mlp
         t_max = self.t_max
         ring_mesh = self.ring_mesh
         tx = self.tx
@@ -255,12 +262,12 @@ class FoldTrainer:
             if t_max is None:
                 loss, grads = jax.value_and_grad(sft_loss, argnums=1)(
                     base, lora, tokens, mask, spec, lspec, use_pallas, remat,
-                    ring_mesh
+                    ring_mesh, fused_mlp
                 )
             else:
                 loss, grads = jax.value_and_grad(sft_loss_window, argnums=1)(
                     base, lora, tokens, mask, pos, t_max, spec, lspec,
-                    use_pallas, remat, ring_mesh
+                    use_pallas, remat, ring_mesh, fused_mlp
                 )
             updates, opt_state = tx.update(grads, opt_state, lora)
             lora = optax.apply_updates(lora, updates)
