@@ -11,9 +11,19 @@ the fold-SEQUENTIAL baseline (k separate single-fold programs per step),
 which is how the reference's job-level per-fold parallelism maps onto one
 chip (SURVEY.md §2b: reference trains folds as independent runs).
 
+Secondary fields (VERDICT r1 items 2/6/10):
+  * compile telemetry — parallel = ONE XLA program; reference-style = k job
+    programs (raw walls reported; the remote-compile tunnel's 5 s–8 min
+    variance makes a derived "seconds saved" noise);
+  * MFU — analytic model-FLOPs / step time / chip peak for the 0.5B and 8B
+    legs (XLA cost_analysis undercounts scan bodies — tst/aux/flops.py);
+  * HBM — compiled-program memory figures; the 8B leg also reports base
+    bytes (one int8 copy SHARED by all folds vs k bf16 job replicas);
+  * long-seq leg — tokens/s at S=16384 through the flash path.
+
 Workload: Qwen2.5-0.5B geometry (BASELINE.json config 2), bf16, LoRA r=16 on
-qkvo, seq 512, k=5 folds (the north-star count) x batch 4/fold, answer-window loss. Weights are random —
-throughput is architecture-dependent, not weight-dependent.
+qkvo, seq 512, k=5 folds x batch 4/fold, answer-window loss. Weights are
+random — throughput is architecture-dependent, not weight-dependent.
 """
 
 from __future__ import annotations
@@ -21,6 +31,27 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+#: TPU v5e peak bf16 matmul throughput per chip.
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
+def _cost(compiled):
+    c = compiled.cost_analysis()
+    if isinstance(c, list):
+        c = c[0] if c else {}
+    return c or {}
+
+
+def _mem_gb(compiled):
+    try:
+        m = compiled.memory_analysis()
+        total = (getattr(m, "argument_size_in_bytes", 0)
+                 + getattr(m, "output_size_in_bytes", 0)
+                 + getattr(m, "temp_size_in_bytes", 0))
+        return round(total / 1e9, 3)
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -64,99 +95,198 @@ def main() -> None:
     mask = jnp.asarray(tb.loss_mask)
     pos = jnp.asarray(tb.answer_pos)
 
-    def run(k_parallel: bool) -> float:
-        """Returns samples/sec. Sequential mode = k single-fold programs."""
-        k_eff = K if k_parallel else 1
-        trainer = FoldTrainer(spec, lspec, k=k_eff, lr=1e-4,
-                              total_steps=STEPS + WARMUP,
-                              use_pallas=on_tpu,
-                              remat="dots" if on_tpu else False, t_max=t_max)
-        if k_parallel:
-            lora, opt = trainer.init_state(jax.random.key(1))
-            step_batches = batches
-        else:
-            states = [trainer.init_state(jax.random.key(2 + f)) for f in range(K)]
-        # warmup (compile + first steps)
-        def one_step(t, state_list=None, lora=None, opt=None):
-            if k_parallel:
-                return trainer._step_fn(params, lora, opt, tokens, mask, pos,
-                                        jnp.asarray(batches[t]))
-            outs = []
-            for f in range(K):
-                lo, op = state_list[f]
-                lo, op, loss = trainer._step_fn(
-                    params, lo, op, tokens, mask, pos,
-                    jnp.asarray(batches[t, f : f + 1]),
-                )
-                state_list[f] = (lo, op)
-                outs.append(loss)
-            return state_list[0][0], state_list[0][1], outs[-1]
+    def bench_trainer(trainer, k_eff, batch_idx_fn) -> dict:
+        """AOT-compile the step once (compile wall + cost/memory analysis),
+        then time STEPS steady-state steps. Hard-sync with np.asarray —
+        under this environment's remote PJRT, block_until_ready returns
+        before execution completes."""
+        lora, opt = trainer.init_state(jax.random.key(1))
+        t0 = time.perf_counter()
+        lora, opt, loss = trainer._step_fn(params, lora, opt, tokens, mask,
+                                           pos, batch_idx_fn(0))
+        np.asarray(loss)
+        compile_s = time.perf_counter() - t0
+        lowered = trainer._step_fn.lower(params, lora, opt, tokens, mask,
+                                         pos, batch_idx_fn(0))
+        compiled = lowered.compile()  # jit-cache hit: analysis without recompiling
+        # NB: cost_analysis()["flops"] undercounts lax.scan bodies by the
+        # trip count (tst/aux/flops.py) — FLOPs are computed analytically.
+        from tst.aux.flops import train_step_flops
 
-        # NB: hard-sync with np.asarray — under this environment's remote
-        # PJRT plugin, block_until_ready returns before execution completes.
-        if k_parallel:
-            for t in range(WARMUP):
-                lora, opt, loss = one_step(t, lora=lora, opt=opt)
-            np.asarray(loss)
-            t0 = time.perf_counter()
-            for t in range(WARMUP, WARMUP + STEPS):
-                lora, opt, loss = one_step(t, lora=lora, opt=opt)
-            np.asarray(loss)
-        else:
-            for t in range(WARMUP):
-                _, _, loss = one_step(t, state_list=states)
-            np.asarray(loss)
-            t0 = time.perf_counter()
-            for t in range(WARMUP, WARMUP + STEPS):
-                _, _, loss = one_step(t, state_list=states)
-            np.asarray(loss)
-        dt = time.perf_counter() - t0
-        return STEPS * K * BATCH / dt
+        flops = train_step_flops(trainer.spec, trainer.lora_spec,
+                                 n_rows=k_eff * BATCH, seq=tokens.shape[1],
+                                 t_max=trainer.t_max or 0,
+                                 remat=trainer.remat)["model_flops"]
+        mem_gb = _mem_gb(compiled)
+        for t in range(1, WARMUP):
+            lora, opt, loss = trainer._step_fn(params, lora, opt, tokens,
+                                               mask, pos, batch_idx_fn(t))
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        for t in range(WARMUP, WARMUP + STEPS):
+            lora, opt, loss = trainer._step_fn(params, lora, opt, tokens,
+                                               mask, pos, batch_idx_fn(t))
+        np.asarray(loss)
+        dt = (time.perf_counter() - t0) / STEPS
+        return {
+            "samples_per_s": STEPS and (k_eff * BATCH / dt),
+            "step_ms": dt * 1e3,
+            "compile_s": compile_s,
+            "flops_per_step": flops,
+            "mfu": (flops / dt / V5E_PEAK_BF16_FLOPS) if on_tpu else None,
+            "hbm_gb": mem_gb,
+        }
 
-    sps_parallel = run(k_parallel=True)
-    sps_sequential = run(k_parallel=False)
+    # ── fold-parallel: ONE program trains all k folds ──
+    tr_par = FoldTrainer(spec, lspec, k=K, lr=1e-4, total_steps=STEPS + WARMUP,
+                         use_pallas=on_tpu,
+                         remat="dots" if on_tpu else False, t_max=t_max)
+    par = bench_trainer(tr_par, K, lambda t: jnp.asarray(batches[t]))
 
-    # secondary headline: Llama-3-8B (int8 base) fold-parallel blind SFT on
-    # THE SAME single chip — impossible in bf16 (16.1 GB base > 15.75 GB HBM)
-    llama8b_sps = None
+    # ── fold-sequential baseline: k single-fold programs per step (the
+    # reference's job-level parallelism on one chip; each job would also
+    # pay its own compile — measured below) ──
+    tr_seq = FoldTrainer(spec, lspec, k=1, lr=1e-4, total_steps=STEPS + WARMUP,
+                         use_pallas=on_tpu,
+                         remat="dots" if on_tpu else False, t_max=t_max)
+    states = [tr_seq.init_state(jax.random.key(2 + f)) for f in range(K)]
+    t0 = time.perf_counter()
+    lo, op, loss = tr_seq._step_fn(params, *states[0], tokens, mask, pos,
+                                   jnp.asarray(batches[0, 0:1]))
+    np.asarray(loss)
+    seq_compile_s = time.perf_counter() - t0
+    states[0] = (lo, op)
+
+    def seq_step(t):
+        out = None
+        for f in range(K):
+            lo, op, out = tr_seq._step_fn(params, *states[f], tokens, mask,
+                                          pos, jnp.asarray(batches[t, f:f + 1]))
+            states[f] = (lo, op)
+        return out
+
+    for t in range(1, WARMUP):
+        loss = seq_step(t)
+    np.asarray(loss)
+    t0 = time.perf_counter()
+    for t in range(WARMUP, WARMUP + STEPS):
+        loss = seq_step(t)
+    np.asarray(loss)
+    sps_sequential = STEPS * K * BATCH / (time.perf_counter() - t0)
+
+    # ── Llama-3-8B (int8 base) fold-parallel on THE SAME single chip —
+    # impossible in bf16 (16.1 GB base > 15.75 GB HBM) ──
+    llama8b = None
     if on_tpu:
         try:
             spec8 = spec_by_name("llama3-8b")
             params8 = init_params(jax.random.key(0), spec8, quantize=True)
+            base_bytes = sum(l.size * l.dtype.itemsize
+                             for l in jax.tree.leaves(params8))
             lspec8 = LoraSpec(rank=16, alpha=32.0, dtype=spec8.dtype)
             tr8 = FoldTrainer(spec8, lspec8, k=2, lr=1e-4, total_steps=10,
                               use_pallas=True, remat=True, t_max=t_max)
             lora8, opt8 = tr8.init_state(jax.random.key(1))
             b8 = make_fold_batches(fold_id, 2, 2, epochs=10, seed=0)
-            for t in range(2):
-                lora8, opt8, loss8 = tr8._step_fn(
-                    params8, lora8, opt8, tokens, mask, pos, jnp.asarray(b8[t]))
+            t0 = time.perf_counter()
+            lora8, opt8, loss8 = tr8._step_fn(params8, lora8, opt8, tokens,
+                                              mask, pos, jnp.asarray(b8[0]))
+            np.asarray(loss8)
+            compile8_s = time.perf_counter() - t0
+            compiled8 = tr8._step_fn.lower(
+                params8, lora8, opt8, tokens, mask, pos,
+                jnp.asarray(b8[0])).compile()
+            from tst.aux.flops import train_step_flops
+
+            flops8 = train_step_flops(spec8, lspec8, n_rows=2 * 2, seq=SEQ,
+                                      t_max=t_max, remat=True)["model_flops"]
+            lora8, opt8, loss8 = tr8._step_fn(params8, lora8, opt8, tokens,
+                                              mask, pos, jnp.asarray(b8[1]))
             np.asarray(loss8)
             t0 = time.perf_counter()
             for t in range(2, 8):
                 lora8, opt8, loss8 = tr8._step_fn(
                     params8, lora8, opt8, tokens, mask, pos, jnp.asarray(b8[t]))
             np.asarray(loss8)
-            llama8b_sps = 2 * 2 * 6 / (time.perf_counter() - t0)
-            del params8, lora8, opt8
+            dt8 = (time.perf_counter() - t0) / 6
+            llama8b = {
+                "samples_per_s": 2 * 2 / dt8,
+                "mfu": flops8 / dt8 / V5E_PEAK_BF16_FLOPS,
+                "base_hbm_gb": round(base_bytes / 1e9, 2),
+                "hbm_gb": _mem_gb(compiled8),
+                "compile_s": compile8_s,
+            }
+            del params8, lora8, opt8, compiled8
         except Exception as e:  # never fail the primary metric
             print(f"8B leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    value = sps_parallel / max(n_chips, 1)
+    # ── long-sequence leg: S=16384 through the flash path (VideoMME
+    # transcripts, BASELINE config 4) ──
+    longseq = None
+    if on_tpu:
+        try:
+            tb16 = tokenize_dataset(ds, ByteTokenizer(), max_len=16384)
+            t16 = int(np.max(tb16.lengths - tb16.answer_pos - 1))
+            # full remat: the "dots" policy would SAVE every layer's [S, F]
+            # matmul outputs — at S=16k that is 2x 7.1 GB for the MLP hiddens
+            # alone (measured OOM, 22.5 GB > 15.75 GB HBM)
+            trL = FoldTrainer(spec, lspec, k=2, lr=1e-4, total_steps=8,
+                              use_pallas=True, remat=True, t_max=t16)
+            loraL, optL = trL.init_state(jax.random.key(1))
+            bL = make_fold_batches(fold_id, 2, 1, epochs=10, seed=0)
+            tokL = jnp.asarray(tb16.tokens)
+            mskL = jnp.asarray(tb16.loss_mask)
+            posL = jnp.asarray(tb16.answer_pos)
+            for t in range(2):
+                loraL, optL, lossL = trL._step_fn(params, loraL, optL, tokL,
+                                                  mskL, posL, jnp.asarray(bL[t]))
+            np.asarray(lossL)
+            t0 = time.perf_counter()
+            for t in range(2, 6):
+                loraL, optL, lossL = trL._step_fn(params, loraL, optL, tokL,
+                                                  mskL, posL, jnp.asarray(bL[t]))
+            np.asarray(lossL)
+            dtL = (time.perf_counter() - t0) / 4
+            longseq = {"tokens_per_s": round(2 * 1 * 16384 / dtL, 1),
+                       "seq_len": 16384}
+            del loraL, optL
+        except Exception as e:
+            print(f"long-seq leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
+    value = par["samples_per_s"] / max(n_chips, 1)
     out = {
         "metric": "blind_sft_samples_per_sec_per_chip",
         "value": round(value, 3),
         "unit": "samples/s/chip",
-        "vs_baseline": round(sps_parallel / sps_sequential, 3),
+        "vs_baseline": round(par["samples_per_s"] / sps_sequential, 3),
         "baseline": "fold-sequential same-chip (reference-style per-fold jobs)",
         "model": spec.name,
         "k": K, "batch_per_fold": BATCH, "seq_len": SEQ,
         "backend": backend, "n_chips": n_chips,
-        "fold_sequential_samples_per_sec_per_chip": round(sps_sequential / max(n_chips, 1), 3),
+        "fold_sequential_samples_per_sec_per_chip": round(
+            sps_sequential / max(n_chips, 1), 3),
+        # fold-parallel pays ONE compile; reference-style pays one PER FOLD
+        # JOB. Raw walls only: the remote-compile tunnel here varies 5 s-8 min
+        # per program, so a derived "seconds saved" would be noise.
+        "xla_programs_fold_parallel": 1,
+        "xla_programs_reference_style": K,
+        "compile_s_fold_parallel": round(par["compile_s"], 1),
+        "compile_s_single_fold": round(seq_compile_s, 1),
+        "step_hbm_gb": par["hbm_gb"],
     }
-    if llama8b_sps is not None:
+    if par["mfu"]:
+        out["mfu"] = round(par["mfu"], 3)
+        out["tflops_per_s"] = round(par["flops_per_step"] / (par["step_ms"] / 1e3) / 1e12, 1)
+    if llama8b is not None:
         out["llama3_8b_int8_samples_per_sec_per_chip"] = round(
-            llama8b_sps / max(n_chips, 1), 3)
+            llama8b["samples_per_s"] / max(n_chips, 1), 3)
+        if llama8b["mfu"]:
+            out["llama3_8b_mfu"] = round(llama8b["mfu"], 3)
+        out["llama3_8b_base_hbm_gb"] = llama8b["base_hbm_gb"]
+        out["llama3_8b_step_hbm_gb"] = llama8b["hbm_gb"]
+    if longseq is not None:
+        out["longseq_tokens_per_s"] = longseq["tokens_per_s"]
+        out["longseq_len"] = longseq["seq_len"]
     print(json.dumps(out))
 
 

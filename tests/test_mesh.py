@@ -163,3 +163,110 @@ class TestShardedTraining:
         lora_s = jax.tree.map(lambda *xs: jnp.concatenate(xs), *seq_results)
         for a, b in zip(jax.tree.leaves(lora_p), jax.tree.leaves(lora_s)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestFoldScaling:
+    """VERDICT r1 item 2: the signature fold axis, asserted at fold=8 on the
+    8-device mesh — all k folds train as ONE compiled program with adapter
+    and optimizer state physically sharded over the fold axis."""
+
+    def test_fold8_one_program_fold_sharded_state(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=4, alpha=8.0, dtype=jnp.float32)
+        k = 8
+        mesh = mesh_mod.make_mesh(fold=8, data=1, tensor=1)
+        ds = make_synthetic_mcq(n=64, bias_fraction=0.5, seed=3)
+        tb = tokenize_dataset(ds, ByteTokenizer(), max_len=256)
+        fid = kfold_assign(ds, k, seed=0)
+        batches = make_fold_batches(fid, k, batch_size=2, epochs=1, seed=0)[:3]
+        params = init_params(jax.random.key(0), spec)
+        params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+        trainer = FoldTrainer(spec, lspec, k=k, lr=1e-3, total_steps=3,
+                              mesh=mesh, t_max=t_max)
+        lora, opt = trainer.init_state(jax.random.key(1))
+        tokens = jax.device_put(jnp.asarray(tb.tokens), mesh_mod.replicated(mesh))
+        mask = jax.device_put(jnp.asarray(tb.loss_mask), mesh_mod.replicated(mesh))
+        pos = jax.device_put(jnp.asarray(tb.answer_pos), mesh_mod.replicated(mesh))
+        lora, opt, log = trainer.fit(params, lora, opt, tokens, mask, batches,
+                                     all_pos=pos, log_every=1)
+        assert np.isfinite(log.losses).all()
+
+        # adapter AND optimizer state live sharded over the fold axis after
+        # training (GSPMD kept the fold axis, it didn't silently replicate)
+        for leaf in jax.tree.leaves(lora):
+            assert isinstance(leaf.sharding, NamedSharding)
+            assert leaf.sharding.spec[0] == "fold", leaf.sharding.spec
+        opt_leaves = [l for l in jax.tree.leaves(opt)
+                      if hasattr(l, "sharding") and l.ndim > 0 and l.shape[0] == k]
+        assert opt_leaves
+        for leaf in opt_leaves:
+            assert leaf.sharding.spec[0] == "fold", leaf.sharding.spec
+
+        # ONE steady-state program trains all 8 folds (the compile-count
+        # claim: reference-style fold jobs would pay k compiles). The first
+        # step may add one transitional trace while GSPMD commits the fresh
+        # optimizer state's shardings; after that the cache must not grow.
+        size_after_fit = trainer._step_fn._cache_size()
+        assert size_after_fit <= 2, size_after_fit
+        more = make_fold_batches(fid, k, batch_size=2, epochs=1, seed=1)[:2]
+        lora, opt, _ = trainer.fit(params, lora, opt, tokens, mask, more,
+                                   all_pos=pos, log_every=1)
+        assert trainer._step_fn._cache_size() == size_after_fit
+
+        # base stays UNsharded over fold: one physical copy serves all folds
+        wq = params["layers"]["wq"]
+        assert "fold" not in jax.tree.leaves(wq)[0].sharding.spec \
+            if isinstance(wq, dict) else "fold" not in wq.sharding.spec
+
+
+class TestMultiSlice:
+    """Multi-slice (DCN) mesh layout: the fold axis maps across slices; all
+    other axes stay intra-slice (SURVEY.md §5 comms backend). Real slices
+    don't exist here — the dispatch + layout contract is tested by faking
+    device.slice_index."""
+
+    class _FakeSliceDev:
+        def __init__(self, dev, slice_index):
+            self._dev = dev
+            self.slice_index = slice_index
+
+        def __getattr__(self, name):
+            return getattr(self._dev, name)
+
+    def test_fold_axis_spans_slices(self, monkeypatch):
+        from jax.experimental import mesh_utils
+
+        devs = jax.devices()[:8]
+        fake = [self._FakeSliceDev(d, i // 4) for i, d in enumerate(devs)]
+
+        captured = {}
+
+        def stub(mesh_shape, dcn_mesh_shape, devices):
+            captured["mesh_shape"] = tuple(mesh_shape)
+            captured["dcn_mesh_shape"] = tuple(dcn_mesh_shape)
+            # return the underlying REAL devices so Mesh() accepts the grid
+            real = np.asarray([d._dev for d in devices])
+            shape = tuple(m * d for m, d in zip(mesh_shape, dcn_mesh_shape))
+            return real.reshape(shape)
+
+        monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", stub)
+        mesh = mesh_mod.make_mesh(fold=2, data=2, tensor=2, devices=fake)
+        assert captured["dcn_mesh_shape"] == (2, 1, 1, 1)  # fold across DCN
+        assert captured["mesh_shape"] == (1, 2, 1, 2)  # per-slice layout
+        assert mesh.shape["fold"] == 2
+
+    def test_indivisible_fold_rejected(self):
+        devs = jax.devices()[:6]
+        fake = [self._FakeSliceDev(d, i // 2) for i, d in enumerate(devs)]  # 3 slices
+        with pytest.raises(ValueError, match="divisible by the 3 slices"):
+            mesh_mod.make_mesh(fold=2, data=3, tensor=1, devices=fake)
+
+    def test_single_slice_unchanged(self):
+        mesh = mesh_mod.make_mesh(fold=2, data=2, tensor=2)
+        assert mesh.devices.shape == (2, 2, 1, 2)
+
+    def test_init_distributed_noop_without_env(self, monkeypatch):
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("NUM_PROCESSES", raising=False)
+        assert mesh_mod.init_distributed() is False

@@ -34,6 +34,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXES = ("fold", "data", "seq", "tensor")
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host / multi-slice bring-up (SURVEY.md §5 comms backend).
+
+    Call BEFORE any other jax use on every host of a multi-host TPU pod or
+    multi-slice (megascale) deployment; after it, ``jax.devices()`` spans
+    all hosts and GSPMD emits DCN collectives across slices automatically.
+    Arguments default to the standard JAX env vars
+    (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID — on Cloud TPU all three
+    are auto-detected and may be omitted). Returns False (no-op) when
+    nothing indicates a multi-process launch — single-chip/CI runs are
+    unaffected. Not exercisable in this 1-chip environment; the multi-slice
+    mesh LAYOUT is tested via make_mesh's hybrid path on fake devices.
+    """
+    import os
+
+    multi = (coordinator_address or num_processes
+             or os.environ.get("COORDINATOR_ADDRESS")
+             or os.environ.get("NUM_PROCESSES"))
+    if not multi:
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def _slice_ids(devs) -> list:
+    return sorted({getattr(d, "slice_index", 0) or 0 for d in devs})
+
+
 def make_mesh(
     fold: int = 1,
     data: int = 1,
@@ -45,14 +77,38 @@ def make_mesh(
     devices (defaults to all available). Axis sizes of 1 are legal and
     collapse that axis to "unsharded". ``seq`` is the ring-attention
     sequence-parallel axis (SURVEY.md §5 long-context); it sits next to
-    ``tensor`` so KV rotation rides nearest-neighbor ICI links."""
+    ``tensor`` so KV rotation rides nearest-neighbor ICI links.
+
+    Multi-slice: when the devices span multiple TPU slices (megascale,
+    ``device.slice_index``), the FOLD axis is laid out across slices — fold
+    models never exchange tensors mid-step, so the only cross-slice (DCN)
+    traffic is optimizer-free per-fold streams, while FSDP gathers and TP
+    reductions stay on intra-slice ICI. Requires fold % n_slices == 0.
+    """
     devs = list(devices if devices is not None else jax.devices())
     need = fold * data * seq * tensor
     if need > len(devs):
         raise ValueError(
             f"mesh {fold}x{data}x{seq}x{tensor} needs {need} devices, have {len(devs)}"
         )
-    grid = np.asarray(devs[:need]).reshape(fold, data, seq, tensor)
+    devs = devs[:need]
+    slices = _slice_ids(devs)
+    if len(slices) > 1:
+        n_slices = len(slices)
+        if fold % n_slices:
+            raise ValueError(
+                f"multi-slice mesh: fold={fold} must be divisible by the "
+                f"{n_slices} slices (the fold axis is the DCN axis)"
+            )
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(fold // n_slices, data, seq, tensor),
+            dcn_mesh_shape=(n_slices, 1, 1, 1),
+            devices=devs,
+        )
+        return Mesh(grid, AXES)
+    grid = np.asarray(devs).reshape(fold, data, seq, tensor)
     return Mesh(grid, AXES)
 
 
