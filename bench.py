@@ -184,8 +184,11 @@ def main() -> None:
             base_bytes = sum(l.size * l.dtype.itemsize
                              for l in jax.tree.leaves(params8))
             lspec8 = LoraSpec(rank=16, alpha=32.0, dtype=spec8.dtype)
+            # dots-remat beats full remat by 19% here (9.54 vs 8.03
+            # samples/s); batch>2/fold or dots at S=16k compile-OOM — the
+            # int8 base (8.04 GB) leaves ~7 GB for activations
             tr8 = FoldTrainer(spec8, lspec8, k=2, lr=1e-4, total_steps=10,
-                              use_pallas=True, remat=True, t_max=t_max)
+                              use_pallas=True, remat="dots", t_max=t_max)
             lora8, opt8 = tr8.init_state(jax.random.key(1))
             b8 = make_fold_batches(fold_id, 2, 2, epochs=10, seed=0)
             t0 = time.perf_counter()
@@ -199,7 +202,7 @@ def main() -> None:
             from tst.aux.flops import train_step_flops
 
             flops8 = train_step_flops(spec8, lspec8, n_rows=2 * 2, seq=SEQ,
-                                      t_max=t_max, remat=True)["model_flops"]
+                                      t_max=t_max, remat="dots")["model_flops"]
             lora8, opt8, loss8 = tr8._step_fn(params8, lora8, opt8, tokens,
                                               mask, pos, jnp.asarray(b8[1]))
             np.asarray(loss8)

@@ -125,7 +125,8 @@ def cmd_eval_blind(args) -> int:
 
     cfg = _resolve(args)
     ds = _load_dataset(cfg)
-    report = run_blind_eval(ds, cfg, adapter_dir=args.adapter, fold=args.fold)
+    report = run_blind_eval(ds, cfg, adapter_dir=args.adapter, fold=args.fold,
+                            full_accuracy=args.full_accuracy)
     print(json.dumps(report, indent=2, default=float))
     return 0
 
@@ -258,6 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--fold", default="0",
                             help="which fold's adapter serves: an index, or "
                                  "'mean' to average adapters across folds")
+            sp.add_argument("--full-accuracy", type=float, default=None,
+                            help="externally measured WITH-vision accuracy; "
+                                 "adds the vision_blind_gap to the report")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("export")
     sp.add_argument("run_dir")

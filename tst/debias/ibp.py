@@ -212,6 +212,19 @@ class _SftRoundRunner:
         self.total_steps0 = int(np.ceil(max_train / b)) * cfg.optim.epochs
         n_strata = len({(s.category, s.answer_type, s.answer) for s in ds})
         self.pad_m = min(n, int(np.ceil(n / self.k)) + n_strata)
+
+        # numeric/open decode grids get the same shape pinning (VERDICT r1
+        # weak #3: they previously retraced every round): bound each fold's
+        # held-out count of those rows by the round-0 stratified-split bound
+        def _pad_for(rows_pred):
+            rows = [s for s in ds if rows_pred(s)]
+            if not rows:
+                return None
+            strata = len({(s.category, s.answer_type, s.answer) for s in rows})
+            return min(len(rows), int(np.ceil(len(rows) / self.k)) + strata)
+
+        self.pad_numeric = _pad_for(lambda s: s.answer_type == "numeric")
+        self.pad_open = _pad_for(lambda s: s.answer_type == "open")
         self.trainer = FoldTrainer(
             self.spec, self.lspec, self.k, lr=cfg.optim.lr,
             total_steps=self.total_steps0,  # fixed across rounds: ONE program
@@ -303,7 +316,7 @@ class _SftRoundRunner:
                     self.params, lora, self.spec, self.lspec, self.tokens,
                     self.answer_pos, np.where(alive, gold_values, np.nan),
                     fold_global, self.k, tokenizer=self.tokenizer,
-                    use_pallas=self._on_tpu,
+                    use_pallas=self._on_tpu, pad_to=self.pad_numeric,
                 )
                 seed_s_num.append(s_num_i)
             if has_open:
@@ -313,6 +326,7 @@ class _SftRoundRunner:
                     self.params, lora, self.spec, self.lspec, self.tokens,
                     self.answer_pos, gold_texts, fold_global, self.k,
                     tokenizer=self.tokenizer, use_pallas=self._on_tpu,
+                    pad_to=self.pad_open,
                 )
                 seed_s_open.append(s_open_i)
         probs = np.mean(seed_probs, axis=0) if len(seed_probs) > 1 else seed_probs[0]

@@ -159,16 +159,21 @@ def score_heldout_mcq(
 def _decode_heldout_rows(
     base, lora_k, spec, lora_spec, tokens, answer_pos, rows: np.ndarray,
     fold_id: np.ndarray, k: int, max_new: int, use_pallas: bool,
+    pad_to: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy-decode the given rows with each row's held-out fold model.
 
     Rows are padded to a common [k, M] grid; one vmapped decode program runs
-    all folds. Returns (gen [k, M, max_new], idx [k, M], valid [k, M]).
+    all folds. ``pad_to`` pins M so shrinking subsets (IBP rounds) keep a
+    constant decode-program shape (one compile for the whole loop).
+    Returns (gen [k, M, max_new], idx [k, M], valid [k, M]).
     """
     from tst.models.decode import greedy_decode
 
     rows_by_fold = [rows[fold_id[rows] == f] for f in range(k)]
-    m = max(max((len(r) for r in rows_by_fold), default=1), 1)
+    m = pad_to or max(max((len(r) for r in rows_by_fold), default=1), 1)
+    if max((len(r) for r in rows_by_fold), default=0) > m:
+        raise ValueError(f"pad_to={m} smaller than a fold's held-out count")
     idx = np.zeros((k, m), np.int32)
     valid = np.zeros((k, m), bool)
     for f, r in enumerate(rows_by_fold):
@@ -203,6 +208,7 @@ def score_heldout_numeric(
     tokenizer=None,
     max_new: int = 12,
     use_pallas: bool = False,
+    pad_to: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy-decode numeric answers with each row's held-out fold model.
 
@@ -222,7 +228,7 @@ def score_heldout_numeric(
         return pred, s_num
     gen, idx, valid = _decode_heldout_rows(
         base, lora_k, spec, lora_spec, tokens, answer_pos, numeric_rows,
-        fold_id, k, max_new, use_pallas,
+        fold_id, k, max_new, use_pallas, pad_to=pad_to,
     )
     for f in range(k):
         rows = idx[f][valid[f]]
@@ -249,6 +255,7 @@ def score_heldout_open(
     tokenizer=None,
     max_new: int = 16,
     use_pallas: bool = False,
+    pad_to: Optional[int] = None,
 ) -> Tuple[list, np.ndarray]:
     """Greedy-decode open (free-form) answers with each row's held-out fold
     model and score by normalized exact match (VERDICT r1 item 5: MMMU's open
@@ -269,7 +276,7 @@ def score_heldout_open(
         return pred_texts, s_open
     gen, idx, valid = _decode_heldout_rows(
         base, lora_k, spec, lora_spec, tokens, answer_pos, open_rows,
-        fold_id, k, max_new, use_pallas,
+        fold_id, k, max_new, use_pallas, pad_to=pad_to,
     )
     for f in range(k):
         rows = idx[f][valid[f]]

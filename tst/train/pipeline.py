@@ -373,7 +373,8 @@ def _read_adapter_meta(adapter_dir: str, cfg: RunConfig, dtype) -> Tuple[int, Lo
 
 def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
                    adapter_dir: Optional[str] = None,
-                   fold: str = "0") -> Dict[str, Any]:
+                   fold: str = "0",
+                   full_accuracy: Optional[float] = None) -> Dict[str, Any]:
     """Blind scoring of every sample with the base model — the zero-shot
     baseline leg of the vision-blind gap (SURVEY.md §3.4) — or, with
     ``adapter_dir``, with a trained LoRA checkpoint (the serving leg:
@@ -382,6 +383,11 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
     ``fold`` selects which trained adapter serves: an integer index, or
     ``"mean"`` to average adapter weights across folds (cheap ensemble —
     sensible because all folds share the zero-init-B LoRA parametrization).
+
+    ``full_accuracy``: the WITH-vision accuracy of the model on this
+    benchmark (measured externally — this framework is text-only by
+    design). When given, the report carries the paper's headline
+    ``vision_blind_gap`` = full - blind (reference README.md:35).
     """
     t_start = time.time()
     tokenizer = build_tokenizer(cfg)
@@ -428,7 +434,8 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
     pred = probs.argmax(-1).astype(np.int32)
     blind_acc = float(metrics.accuracy(pred, tb.gold))
     chance = float(metrics.chance_accuracy(tb.n_options))
-    report = metrics.blind_report(blind_acc, chance, name=ds.name)
+    report = metrics.blind_report(blind_acc, chance, full_acc=full_accuracy,
+                                  name=ds.name)
     gold_texts = [s.answer if s.answer_type == "open" else None for s in ds]
     if any(g is not None for g in gold_texts):
         # with an adapter: decode open answers through the same fold-0 adapter
