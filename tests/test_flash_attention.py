@@ -91,6 +91,59 @@ class TestGradParity:
         assert np.isfinite(np.asarray(g)).all()
 
 
+class TestFoldedGQA:
+    """The folded-GQA schedule (groups into q rows, auto when block_q is not
+    forced and groups*S <= FOLD_MAX_ROWS) must match the dense reference and
+    the tiled schedule exactly — fwd and grads, causal and not."""
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_forward_matches_reference(self, causal):
+        # qwen-0.5b head geometry at small scale: 14 q heads, 2 kv heads
+        q, k, v = _make_qkv(b=2, s=256, h=14, kvh=2, d=32)
+        out = fa.flash_attention(q, k, v, causal=causal)  # folded (no blocks)
+        ref = fa.mha_reference(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_folded_equals_tiled(self):
+        q, k, v = _make_qkv(b=1, s=256, h=8, kvh=2, d=32)
+        folded = fa.flash_attention(q, k, v, causal=True)
+        tiled = fa.flash_attention(q, k, v, causal=True, block_q=128,
+                                   block_k=128)
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(tiled),
+                                   atol=2e-5)
+
+    def test_folded_multi_kv_tile(self):
+        """block_k < S: several kv tiles per folded q block, diagonal mask
+        crossing tile boundaries."""
+        q, k, v = _make_qkv(b=1, s=512, h=4, kvh=2, d=32)
+        out = fa.flash_attention(q, k, v, causal=True, block_k=128)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_folded_grads_match_reference(self):
+        q, k, v = _make_qkv(b=1, s=256, h=6, kvh=2, d=32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(fa.flash_attention(q, k, v, causal=True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(fa.mha_reference(q, k, v, causal=True) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, err_msg=f"d{name}")
+
+    def test_long_seq_stays_tiled(self):
+        """groups*S over the cap must fall back to the tiled schedule."""
+        s = fa.FOLD_MAX_ROWS  # groups=2 → 2*s > cap
+        q, k, v = _make_qkv(b=1, s=s, h=2, kvh=1, d=16)
+        out = fa.flash_attention(q, k, v, causal=True)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
 class TestModelIntegration:
     def test_decoder_with_pallas_matches_xla(self):
         from tst.models.decoder import apply_model, init_params, spec_by_name

@@ -122,6 +122,69 @@ class TestHFParity:
         )
         self._compare(hf, spec)
 
+    def test_llama32_rope_scaling_parity(self):
+        """Llama-3.1/3.2 ship rope_type="llama3" frequency scaling; our
+        rope_tables must match HF transformers' _compute_llama3_parameters
+        even at short sequence (the scaling rewrites inv_freq globally)."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        cfg = LlamaConfig(
+            vocab_size=320, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rms_norm_eps=1e-5, rope_theta=500000.0, tie_word_embeddings=True,
+            rope_scaling={"rope_type": "llama3", "factor": 32.0,
+                          "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                          "original_max_position_embeddings": 8192},
+            attn_implementation="eager",
+        )
+        hf = LlamaForCausalLM(cfg).eval()
+        spec = ModelSpec(
+            name="t", vocab_size=320, d_model=64, n_layers=2, n_heads=4,
+            n_kv_heads=2, d_head=16, d_ff=128, rms_eps=1e-5,
+            rope_theta=500000.0, tie_embeddings=True, dtype=jnp.float32,
+            rope_scaling=("llama3", 32.0, 1.0, 4.0, 8192),
+        )
+        self._compare(hf, spec)
+
+    def test_rope_scaling_changes_tables(self):
+        from tst.models.decoder import rope_tables
+
+        cos0, _ = rope_tables(64, 16, 500000.0)
+        cos1, _ = rope_tables(64, 16, 500000.0,
+                              scaling=("llama3", 32.0, 1.0, 4.0, 8192))
+        assert not np.allclose(np.asarray(cos0), np.asarray(cos1))
+
+    def test_family_specs_registered(self):
+        for name in ("qwen2.5-1.5b", "qwen2.5-3b", "qwen2.5-7b",
+                     "llama3.1-8b", "llama3.2-1b", "llama3.2-3b"):
+            s = spec_by_name(name)
+            assert s.q_dim == s.n_heads * s.d_head
+            assert s.n_heads % s.n_kv_heads == 0
+        assert spec_by_name("llama3.2-1b").rope_scaling[0] == "llama3"
+        assert spec_by_name("qwen2.5-7b").tie_embeddings is False
+
+    def test_spec_from_hf_config_rope_scaling(self, tmp_path):
+        import json
+
+        cfg = {
+            "architectures": ["LlamaForCausalLM"], "vocab_size": 128256,
+            "hidden_size": 2048, "num_hidden_layers": 16,
+            "num_attention_heads": 32, "num_key_value_heads": 8,
+            "head_dim": 64, "intermediate_size": 8192,
+            "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+            "tie_word_embeddings": True,
+            "rope_scaling": {"rope_type": "llama3", "factor": 32.0,
+                             "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                             "original_max_position_embeddings": 8192},
+        }
+        (tmp_path / "config.json").write_text(json.dumps(cfg))
+        spec = spec_from_hf_config(str(tmp_path))
+        assert spec.rope_scaling == ("llama3", 32.0, 1.0, 4.0, 8192)
+        ref = spec_by_name("llama3.2-1b")
+        for f in ("vocab_size", "d_model", "n_layers", "n_heads",
+                  "n_kv_heads", "d_head", "d_ff", "rope_scaling"):
+            assert getattr(spec, f) == getattr(ref, f), f
+
     def test_spec_from_hf_config(self, tmp_path):
         import json
 

@@ -1,0 +1,52 @@
+"""Remat policies are numerics-preserving: every mode computes the same loss
+and LoRA grads as no-remat (they only change WHAT is saved for backward).
+
+Covers the round-2 additions "dots_attn" (dots + saved attention output — the
+Pallas flash output is not a dot_general, so plain "dots" re-runs the flash
+forward in backward) and "light" (save all but the [S, d_ff] MLP hiddens).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tst.models.decoder import init_params, spec_by_name
+from tst.models.lora import LoraSpec, init_lora
+from tst.train.sft import sft_loss_window
+
+SPEC = spec_by_name("tiny")
+LSPEC = LoraSpec(rank=4, alpha=8.0, dtype=SPEC.dtype)
+
+
+def _loss_and_grads(remat):
+    tokens = jax.random.randint(jax.random.key(0), (2, 128), 0, SPEC.vocab_size)
+    mask = jnp.zeros((2, 128), jnp.float32).at[:, 100:104].set(1.0)
+    pos = jnp.full((2,), 99, jnp.int32)
+    base = init_params(jax.random.key(1), SPEC)
+    lora = init_lora(jax.random.key(2), SPEC, LSPEC)
+    # adapters start at zero-B; nudge so grads flow through both A and B
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+
+    def loss_fn(lo):
+        return sft_loss_window(base, lo, tokens, mask, pos, 4, SPEC, LSPEC,
+                               use_pallas=False, remat=remat)
+
+    return jax.jit(jax.value_and_grad(loss_fn))(lora)
+
+
+@pytest.mark.parametrize("remat", [True, "dots", "dots_attn", "dots_flash",
+                                   "light", "attn"])
+def test_remat_modes_match_no_remat(remat):
+    loss0, g0 = _loss_and_grads(False)
+    loss1, g1 = _loss_and_grads(remat)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_unknown_remat_mode_rejected():
+    with pytest.raises(ValueError, match="unknown remat mode"):
+        _loss_and_grads("bogus")

@@ -69,5 +69,13 @@ def train_step_flops(
     hardware = model
     if remat is True:  # full remat: one extra forward during backward
         hardware = model + fwd_matmul + attn_fwd
+    elif remat == "dots":
+        # dots saves matmul outputs but NOT the Pallas flash output (not a
+        # dot_general) — the flash forward re-runs during backward
+        hardware = model + attn_fwd
+    elif remat == "light":
+        # save-all-but-MLP-hiddens: backward re-runs gate/up matmuls + silu
+        hardware = model + 2.0 * (2 * d * f) * L * tokens
+    # "dots_attn"/"dots_flash" and False recompute no matmuls
     return {"model_flops": model, "hardware_flops": hardware,
             "fwd_flops": fwd_matmul + attn_fwd}

@@ -48,6 +48,8 @@ class ModelConfig:
     fused_mlp: bool = False  # Pallas fused SwiGLU MLP (B12); measured slower
     # than XLA's own fusion in the train step on v5e — see docs/RESULTS.md
     remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
+    # | "dots_attn" (dots + attention output: no flash-fwd recompute in bwd)
+    # | "light" (save all but the [S, d_ff] MLP hiddens)
     quantize: str = "none"  # "none" | "int8" — weights-only base quantization
     # (int8 halves base HBM: Llama-3-8B fits a single 16 GB v5e chip)
 

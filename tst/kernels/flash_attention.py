@@ -66,8 +66,17 @@ def _pick_block(s: int, target: int = 1024) -> int:
 # ───────────────────────────── forward ─────────────────────────────
 
 
+def _row_positions(block_q, block_k, q_idx, pos_mod):
+    """Per-row sequence positions of a q tile. ``pos_mod`` is the folded-GQA
+    marker: q rows are [G*S] (group-major), so position = row % S."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+    if pos_mod is not None:
+        rows = jax.lax.rem(rows, jnp.int32(pos_mod))
+    return rows
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, sm_scale, causal, block_q, block_k, kv_blocks):
+                *, sm_scale, causal, block_q, block_k, kv_blocks, pos_mod):
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
 
@@ -78,8 +87,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     run = True
-    if causal:
-        # skip KV tiles fully above the diagonal
+    if causal and pos_mod is None:
+        # skip KV tiles fully above the diagonal (folded tiles always carry
+        # in-range rows: positions cycle 0..pos_mod-1 within the tile)
         run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
 
     @pl.when(run)
@@ -91,7 +101,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         )  # [bq, bk]
         s = s * sm_scale
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
             s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
 
@@ -118,7 +128,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
 
-def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
+               pos_mod=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, h, s, d = q.shape
     kv_heads = k.shape[1]
     groups = h // kv_heads
@@ -127,6 +138,7 @@ def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k) -> Tuple[jnp.ndarray
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal,
         block_q=block_q, block_k=block_k, kv_blocks=kv_s // block_k,
+        pos_mod=pos_mod,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -161,7 +173,7 @@ def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k) -> Tuple[jnp.ndarray
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
-                   *, sm_scale, causal, block_q, block_k, kv_blocks):
+                   *, sm_scale, causal, block_q, block_k, kv_blocks, pos_mod):
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
 
@@ -170,7 +182,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
     run = True
-    if causal:
+    if causal and pos_mod is None:
         run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
 
     @pl.when(run)
@@ -184,7 +196,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
             s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # normalized probs [bq, bk]
@@ -199,7 +211,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-                    dk_scr, dv_scr, *, sm_scale, causal, block_q, block_k, q_blocks):
+                    dk_scr, dv_scr, *, sm_scale, causal, block_q, block_k,
+                    q_blocks, pos_mod):
     q_idx = pl.program_id(3)
     kv_idx = pl.program_id(2)
 
@@ -209,7 +222,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     run = True
-    if causal:
+    if causal and pos_mod is None:
         run = (q_idx + 1) * block_q - 1 >= kv_idx * block_k
 
     @pl.when(run)
@@ -223,7 +236,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+            rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
             s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # [bq, bk]
@@ -247,7 +260,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k):
+def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
+               pos_mod=None):
     b, h, s, d = q.shape
     kv_heads = k.shape[1]
     groups = h // kv_heads
@@ -259,7 +273,7 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k):
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k,
-                          kv_blocks=kv_s // block_k),
+                          kv_blocks=kv_s // block_k, pos_mod=pos_mod),
         grid=(b, h, s // block_q, kv_s // block_k),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -280,7 +294,7 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k):
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k,
-                          q_blocks=s // block_q),
+                          q_blocks=s // block_q, pos_mod=pos_mod),
         grid=(b, h, kv_s // block_k, s // block_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
@@ -315,24 +329,51 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k):
 # ───────────────────────────── public API ─────────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, sm_scale, causal, block_q, block_k):
-    o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, sm_scale, causal, block_q, block_k, pos_mod):
+    o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k):
-    o, lse = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k)
+def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod):
+    o, lse = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
+    # Name the residuals so remat policies can SAVE them: under plain
+    # "dots"-style policies the pallas output is not a dot_general, so
+    # jax.checkpoint re-runs this whole forward kernel during the backward
+    # pass just to rebuild (o, lse) — 458us/layer at the 0.5B train step.
+    # The "dots_flash" policy (tst.models.decoder._remat_policy) matches
+    # these names; q/k/v residuals reconstruct from saved qkv dots via
+    # elementwise RoPE, which costs nothing by comparison.
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse)
 
 
-def _flash_vjp_bwd(sm_scale, causal, block_q, block_k, res, do):
+def _flash_vjp_bwd(sm_scale, causal, block_q, block_k, pos_mod, res, do):
     q, k, v, o, lse = res
-    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k)
+    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q,
+                            block_k, pos_mod)
     return dq, dk, dv
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+#: fold the GQA group axis into the q rows when groups*S is at most this —
+#: at short/mid sequence the per-(b,h) matmul is M=S, K=d_head (M=512, K=64
+#: at the 0.5B workload: ~7% MXU, overhead-bound at 280 grid cells/layer);
+#: folding makes it M=groups*S with K/V tiles shared across the group
+#: (M=3584 → ~4x faster attention, measured in docs/RESULTS.md). The cap
+#: bounds VMEM: the [groups*S, block_k] f32 probs tile must fit.
+FOLD_MAX_ROWS = 4096
+
+#: tuning overrides for the folded schedule's row/kv tiles (None = all rows /
+#: _pick_block(S)). Read at TRACE time — clear tst.train.sft._STEP_CACHE
+#: when changing mid-process (scripts/sweep_fold_blocks.py does).
+FOLD_BLOCK_Q: Optional[int] = None
+FOLD_BLOCK_K: Optional[int] = None
 
 
 def flash_attention(
@@ -343,11 +384,50 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
+    fold: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Flash attention over model-layout tensors; returns [B, S, H, D]."""
+    """Flash attention over model-layout tensors; returns [B, S, H, D].
+
+    Dispatches between two kernel schedules:
+      * **folded GQA** (automatic when ``block_q`` is not forced and
+        ``groups*S <= FOLD_MAX_ROWS``): q is viewed as [B, KVH, groups*S, D]
+        — one grid cell per (batch, kv-head) runs the whole group as a
+        single tall matmul, streaming each K/V tile from HBM once per GROUP
+        instead of once per q-head; causal masking uses position = row % S
+        (``pos_mod``). The backward dK/dV group-sum happens inside the
+        matmul (contraction over groups*S rows).
+      * **tiled** (long sequences / explicit blocks): the classic
+        (batch, head, q_tile, kv_tile) grid with above-diagonal tile
+        skipping.
+    """
     b, s, h, d = q.shape
+    kv_heads = k.shape[2]
+    groups = h // kv_heads
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(d))
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if fold is None:
+        fold = (block_q is None and s == k.shape[1] and s % 128 == 0
+                and groups * s <= FOLD_MAX_ROWS)
+    if fold:
+        # folded-GQA schedule: [B, H, S, D] → [B, KVH, groups*S, D] (heads
+        # are kv-major, so the reshape is layout-preserving). pos = row % S
+        # masking is correct under ANY row tiling, so block_q here tiles the
+        # folded [groups*S] rows (default: all of them — one tall matmul).
+        qf = qt.reshape(b, kv_heads, groups * s, d)
+        bq = block_q or FOLD_BLOCK_Q or groups * s
+        bk = block_k or FOLD_BLOCK_K or _pick_block(s, target=512)
+        if (groups * s) % bq:
+            bq = groups * s  # override doesn't divide this geometry
+        if (groups * s) % bq or s % bk:
+            raise ValueError(
+                f"folded flash_attention: {groups}*{s} % block_q {bq} or "
+                f"{s} % block_k {bk} != 0")
+        o = _flash(qf, kt, vt, float(sm_scale), bool(causal),
+                   int(bq), int(bk), int(s))
+        return o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     bq = block_q or _pick_block(s)
     bk = block_k or _pick_block(k.shape[1])
     if s % bq or k.shape[1] % bk:
@@ -356,10 +436,8 @@ def flash_attention(
             f"q {s} % {bq}, kv {k.shape[1]} % {bk} — pad sequences to a "
             f"128-multiple (tst.data.tokenize does this)"
         )
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    o = _flash(qt, kt, vt, float(sm_scale), bool(causal), int(bq), int(bk))
+    o = _flash(qt, kt, vt, float(sm_scale), bool(causal), int(bq), int(bk),
+               None)
     return o.transpose(0, 2, 1, 3)
 
 

@@ -47,7 +47,8 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
     b = token_b.shape[0]
     s_max = k_cache.shape[2]
     x = embed_lookup(params, token_b, spec)[:, None, :]  # [B,1,D]
-    cos_full, sin_full = rope_tables(s_max, spec.d_head, spec.rope_theta)
+    cos_full, sin_full = rope_tables(s_max, spec.d_head, spec.rope_theta,
+                                     spec.rope_scaling)
     cos_t = cos_full[pos_b][:, None]  # [B,1,half]
     sin_t = sin_full[pos_b][:, None]
 

@@ -35,6 +35,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 Params = Dict[str, Any]
 
@@ -55,6 +56,10 @@ class ModelSpec:
     tie_embeddings: bool = False
     max_seq_len: int = 32768
     dtype: Any = jnp.bfloat16
+    #: optional RoPE frequency scaling, e.g. Llama-3.1/3.2's
+    #: ("llama3", factor, low_freq_factor, high_freq_factor, original_ctx) —
+    #: a hashable tuple (the frozen spec doubles as a jit cache key)
+    rope_scaling: Optional[tuple] = None
 
     @property
     def q_dim(self) -> int:
@@ -77,10 +82,41 @@ _SPECS: Dict[str, ModelSpec] = {
                               n_layers=24, n_heads=14, n_kv_heads=2, d_head=64,
                               d_ff=4864, rope_theta=1000000.0, qkv_bias=True,
                               tie_embeddings=True),
+    # HF Qwen/Qwen2.5-1.5B(-Instruct) geometry
+    "qwen2.5-1.5b": ModelSpec("qwen2.5-1.5b", vocab_size=151936, d_model=1536,
+                              n_layers=28, n_heads=12, n_kv_heads=2, d_head=128,
+                              d_ff=8960, rope_theta=1000000.0, qkv_bias=True,
+                              tie_embeddings=True),
+    # HF Qwen/Qwen2.5-3B(-Instruct) geometry
+    "qwen2.5-3b": ModelSpec("qwen2.5-3b", vocab_size=151936, d_model=2048,
+                            n_layers=36, n_heads=16, n_kv_heads=2, d_head=128,
+                            d_ff=11008, rope_theta=1000000.0, qkv_bias=True,
+                            tie_embeddings=True),
+    # HF Qwen/Qwen2.5-7B(-Instruct) geometry (untied lm_head)
+    "qwen2.5-7b": ModelSpec("qwen2.5-7b", vocab_size=152064, d_model=3584,
+                            n_layers=28, n_heads=28, n_kv_heads=4, d_head=128,
+                            d_ff=18944, rope_theta=1000000.0, qkv_bias=True),
     # HF meta-llama/Meta-Llama-3-8B geometry (BASELINE.json configs 3/5)
     "llama3-8b": ModelSpec("llama3-8b", vocab_size=128256, d_model=4096,
                            n_layers=32, n_heads=32, n_kv_heads=8, d_head=128,
                            d_ff=14336, rope_theta=500000.0, rms_eps=1e-5),
+    # HF meta-llama/Llama-3.1-8B geometry: Llama-3-8B + llama3 rope scaling
+    "llama3.1-8b": ModelSpec("llama3.1-8b", vocab_size=128256, d_model=4096,
+                             n_layers=32, n_heads=32, n_kv_heads=8, d_head=128,
+                             d_ff=14336, rope_theta=500000.0, rms_eps=1e-5,
+                             rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192)),
+    # HF meta-llama/Llama-3.2-1B geometry (tied embeddings)
+    "llama3.2-1b": ModelSpec("llama3.2-1b", vocab_size=128256, d_model=2048,
+                             n_layers=16, n_heads=32, n_kv_heads=8, d_head=64,
+                             d_ff=8192, rope_theta=500000.0, rms_eps=1e-5,
+                             tie_embeddings=True,
+                             rope_scaling=("llama3", 32.0, 1.0, 4.0, 8192)),
+    # HF meta-llama/Llama-3.2-3B geometry (tied embeddings)
+    "llama3.2-3b": ModelSpec("llama3.2-3b", vocab_size=128256, d_model=3072,
+                             n_layers=28, n_heads=24, n_kv_heads=8, d_head=128,
+                             d_ff=8192, rope_theta=500000.0, rms_eps=1e-5,
+                             tie_embeddings=True,
+                             rope_scaling=("llama3", 32.0, 1.0, 4.0, 8192)),
 }
 
 
@@ -180,9 +216,30 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf * scale * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_tables(seq_len: int, d_head: int, theta: float) -> tuple:
-    """cos/sin tables [S, d_head//2] — HF "split-half" RoPE convention."""
+def rope_tables(seq_len: int, d_head: int, theta: float,
+                scaling: Optional[tuple] = None) -> tuple:
+    """cos/sin tables [S, d_head//2] — HF "split-half" RoPE convention.
+
+    ``scaling``: optional frequency-scaling rule. The Llama-3.1/3.2 family
+    ships ``rope_type="llama3"`` — low-frequency bands are slowed by
+    ``factor``, high-frequency bands kept, the middle smoothly interpolated
+    (matches HF transformers ``_compute_llama3_parameters``). Encoded as the
+    hashable tuple ("llama3", factor, low_freq_factor, high_freq_factor,
+    original_max_position_embeddings) so ModelSpec stays usable as a jit
+    static / cache key.
+    """
     inv_freq = 1.0 / (theta ** (np.arange(0, d_head, 2, dtype=np.float64) / d_head))
+    if scaling is not None:
+        kind, factor, low_f, high_f, orig_ctx = scaling
+        if kind != "llama3":
+            raise ValueError(f"unknown rope scaling {kind!r}")
+        wavelen = 2.0 * np.pi / inv_freq
+        low_wl = orig_ctx / low_f
+        high_wl = orig_ctx / high_f
+        smooth = (orig_ctx / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        inv_freq = np.where(wavelen > low_wl, inv_freq / factor,
+                            np.where(wavelen < high_wl, inv_freq, smoothed))
     pos = np.arange(seq_len, dtype=np.float64)
     angles = np.outer(pos, inv_freq)  # [S, d_head/2]
     return jnp.asarray(np.cos(angles), jnp.float32), jnp.asarray(np.sin(angles), jnp.float32)
@@ -195,6 +252,40 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     c = cos[None, :, None, :].astype(x.dtype)
     s = sin[None, :, None, :].astype(x.dtype)
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def _remat_policy(remat):
+    """Map a ``remat`` config value to a jax.checkpoint policy (None = save
+    nothing, i.e. full remat)."""
+    cp = jax.checkpoint_policies
+    if remat in (True, "full"):
+        return None
+    if remat == "dots":
+        return cp.dots_saveable
+    if remat == "dots_attn":
+        return cp.save_from_both_policies(
+            cp.dots_saveable, cp.save_only_these_names("attn_out"))
+    if remat == "light":
+        return cp.save_anything_except_these_names(
+            "mlp_gate", "mlp_up", "mlp_act")
+    if remat == "dots_flash":
+        # dots + the flash kernel's (output, logsumexp) residuals — the only
+        # non-dot values the attention backward needs. Kills the per-layer
+        # flash-forward re-run that "dots"/"dots_attn" pay (the residuals
+        # are named inside the kernel's custom_vjp forward).
+        return cp.save_from_both_policies(
+            cp.dots_saveable,
+            cp.save_only_these_names("flash_out", "flash_lse"))
+    if remat == "attn":
+        # long-sequence mode: save ONLY the attention tensors (post-RoPE
+        # q/k, v, attention output — the inputs the flash backward needs),
+        # recompute the MLP and projections. ~2x q_dim + kv_dim per
+        # token/layer of saved bytes vs "dots"' 2x d_ff — the only policy
+        # between "full" and "dots" that fits 16k sequences.
+        return cp.save_only_these_names(
+            "q_rope", "k_rope", "v_proj", "attn_out")
+    raise ValueError(f"unknown remat mode {remat!r}; use True/'full', "
+                     "'dots', 'dots_attn', 'dots_flash', 'light', or 'attn'")
 
 
 def _dense_attention(q, k, v, causal_mask):
@@ -249,7 +340,7 @@ def apply_model(
     """
     b, s = tokens.shape
     x = embed_lookup(params, tokens, spec)  # [B, S, D]
-    cos, sin = rope_tables(s, spec.d_head, spec.rope_theta)
+    cos, sin = rope_tables(s, spec.d_head, spec.rope_theta, spec.rope_scaling)
     causal = jnp.tril(jnp.ones((s, s), bool))
 
     from tst.models.lora import apply_lora_delta  # circular-safe local import
@@ -260,8 +351,12 @@ def apply_model(
         la = scanned.get("lora")
 
         def proj(name, y, w_key):
+            # bf16-out dot == f32-out dot + astype (MXU accumulates f32
+            # internally; output rounds once either way) but the remat-saved
+            # value is half the bytes — the dominant HBM write at 0.5B
+            # (profiled: the two f32 [B,S,d_ff] saves cost 24 ms/step)
             out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
-                             preferred_element_type=jnp.float32).astype(spec.dtype)
+                             preferred_element_type=spec.dtype)
             if la is not None and name in la:
                 out = out + apply_lora_delta(la[name], y, lora_spec)
             bias_key = {"q": "bq", "k": "bk", "v": "bv"}.get(name)
@@ -274,8 +369,9 @@ def apply_model(
         q = proj("q", h, "wq").reshape(b, s, spec.n_heads, spec.d_head)
         k = proj("k", h, "wk").reshape(b, s, spec.n_kv_heads, spec.d_head)
         v = proj("v", h, "wv").reshape(b, s, spec.n_kv_heads, spec.d_head)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = checkpoint_name(apply_rope(q, cos, sin), "q_rope")
+        k = checkpoint_name(apply_rope(k, cos, sin), "k_rope")
+        v = checkpoint_name(v, "v_proj")
         if ring_mesh is not None and ring_mesh.shape.get(ring_axis, 1) > 1:
             # sequence-parallel path: ring attention over the seq mesh axis
             from tst.kernels.ring_attention import ring_attention
@@ -286,7 +382,7 @@ def apply_model(
             attn = _flash_attention(q, k, v)
         else:
             attn = _dense_attention(q, k, v, causal)
-        attn = attn.reshape(b, s, spec.q_dim)
+        attn = checkpoint_name(attn.reshape(b, s, spec.q_dim), "attn_out")
         o = proj("o", attn, "wo")
         h_mid = h_in + o
         # MLP (SwiGLU). The fused Pallas kernel applies only when no LoRA
@@ -303,9 +399,11 @@ def apply_model(
                 _w(lw["w_down"], spec.dtype),
             )
         else:
-            gate = proj("gate", h, "w_gate")
-            up = proj("up", h, "w_up")
-            act = jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up
+            gate = checkpoint_name(proj("gate", h, "w_gate"), "mlp_gate")
+            up = checkpoint_name(proj("up", h, "w_up"), "mlp_up")
+            act = checkpoint_name(
+                jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up,
+                "mlp_act")
             down = proj("down", act, "w_down")
         ys = (k, v) if return_kv else None
         return h_mid + down, ys
@@ -315,10 +413,16 @@ def apply_model(
         # remat=True/"full": save only layer boundaries (max memory savings).
         # remat="dots": save matmul outputs, recompute elementwise-only ops —
         # much cheaper backward than full remat, still avoids the big
-        # silu/up-product and norm intermediates.
-        policy = (jax.checkpoint_policies.dots_saveable
-                  if remat == "dots" else None)
-        body = jax.checkpoint(layer_body, prevent_cse=False, policy=policy)
+        # silu/up-product and norm intermediates. NB: the Pallas flash output
+        # is NOT a dot_general, so "dots" recomputes the flash forward in the
+        # backward pass.
+        # remat="dots_attn": dots + the attention output — no flash-forward
+        # recompute, +d_model per token/layer of saved bytes.
+        # remat="light": save every intermediate EXCEPT the [S, d_ff] MLP
+        # hiddens (~77% of dots-saved bytes at Qwen-0.5B geometry); backward
+        # re-runs only the gate/up matmuls + silu.
+        body = jax.checkpoint(layer_body, prevent_cse=False,
+                              policy=_remat_policy(remat))
 
     scanned = {"w": params["layers"]}
     if lora is not None:

@@ -214,6 +214,18 @@ def spec_from_hf_config(ckpt_dir: str, name: str = "custom") -> ModelSpec:
     with open(os.path.join(ckpt_dir, "config.json")) as f:
         cfg = json.load(f)
     arch = (cfg.get("architectures") or ["?"])[0]
+    rs = cfg.get("rope_scaling")
+    rope_scaling = None
+    if rs:
+        kind = rs.get("rope_type", rs.get("type"))
+        if kind != "llama3":
+            raise ValueError(f"unsupported rope_scaling type {kind!r} "
+                             "(supported: llama3)")
+        rope_scaling = (
+            "llama3", float(rs["factor"]), float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            int(rs["original_max_position_embeddings"]),
+        )
     return ModelSpec(
         name=name,
         vocab_size=cfg["vocab_size"],
@@ -228,4 +240,5 @@ def spec_from_hf_config(ckpt_dir: str, name: str = "custom") -> ModelSpec:
         qkv_bias="Qwen2" in arch,
         tie_embeddings=cfg.get("tie_word_embeddings", False),
         max_seq_len=cfg.get("max_position_embeddings", 32768),
+        rope_scaling=rope_scaling,
     )

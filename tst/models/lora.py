@@ -96,10 +96,14 @@ def apply_lora_delta(layer_lora: Params, x: jnp.ndarray, spec: LoraSpec) -> jnp.
     """
     a = layer_lora["a"]
     b = layer_lora["b"]
+    # preferred_element_type = x.dtype: the MXU accumulates f32 internally
+    # either way; emitting the working dtype directly makes the remat-saved
+    # dot outputs half the bytes of an f32-out + astype pair (bit-identical
+    # after rounding — docs/RESULTS.md round-2 profile).
     z = jnp.einsum("bsi,ri->bsr", x, a.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+                   preferred_element_type=x.dtype)
     d = jnp.einsum("bsr,or->bso", z, b.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+                   preferred_element_type=x.dtype)
     return d * jnp.asarray(lora_scale(spec), x.dtype)
 
 
