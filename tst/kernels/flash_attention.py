@@ -261,7 +261,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
 
 
 def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
-               pos_mod=None):
+               pos_mod=None, bwd_block_q=None):
+    block_q = bwd_block_q or block_q
     b, h, s, d = q.shape
     kv_heads = k.shape[1]
     groups = h // kv_heads
@@ -329,13 +330,15 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
 # ───────────────────────────── public API ─────────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, sm_scale, causal, block_q, block_k, pos_mod):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
+           bwd_block_q=None):
     o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod):
+def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
+                   bwd_block_q=None):
     o, lse = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
     # Name the residuals so remat policies can SAVE them: under plain
     # "dots"-style policies the pallas output is not a dot_general, so
@@ -351,10 +354,11 @@ def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod):
     return o, (q, k, v, o, lse)
 
 
-def _flash_vjp_bwd(sm_scale, causal, block_q, block_k, pos_mod, res, do):
+def _flash_vjp_bwd(sm_scale, causal, block_q, block_k, pos_mod, bwd_block_q,
+                   res, do):
     q, k, v, o, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q,
-                            block_k, pos_mod)
+                            block_k, pos_mod, bwd_block_q)
     return dq, dk, dv
 
 
@@ -374,6 +378,12 @@ FOLD_MAX_ROWS = 4096
 #: when changing mid-process (scripts/sweep_fold_blocks.py does).
 FOLD_BLOCK_Q: Optional[int] = None
 FOLD_BLOCK_K: Optional[int] = None
+#: backward q-row tile override for the folded schedule (None = same as the
+#: forward: all groups*S rows). Swept at the step level: full rows wins
+#: (120.4 samples/s vs 119.8 @896 / 118.0 @512) — Mosaic sub-schedules the
+#: nominal [rows, block_k] f32 tiles without help. Kept as a knob for other
+#: geometries.
+FOLD_BWD_BLOCK_Q: Optional[int] = None
 
 
 def flash_attention(
@@ -425,8 +435,11 @@ def flash_attention(
             raise ValueError(
                 f"folded flash_attention: {groups}*{s} % block_q {bq} or "
                 f"{s} % block_k {bk} != 0")
+        bq_bwd = FOLD_BWD_BLOCK_Q or bq
+        if (groups * s) % bq_bwd:
+            bq_bwd = bq
         o = _flash(qf, kt, vt, float(sm_scale), bool(causal),
-                   int(bq), int(bk), int(s))
+                   int(bq), int(bk), int(s), int(bq_bwd))
         return o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     bq = block_q or _pick_block(s)
     bk = block_k or _pick_block(k.shape[1])
@@ -437,7 +450,7 @@ def flash_attention(
             f"128-multiple (tst.data.tokenize does this)"
         )
     o = _flash(qt, kt, vt, float(sm_scale), bool(causal), int(bq), int(bk),
-               None)
+               None, None)
     return o.transpose(0, 2, 1, 3)
 
 
