@@ -89,3 +89,32 @@ class TestLoggingProfiling:
         assert any(os.scandir(str(tmp_path / "prof")))
         with trace(None):  # no-op path
             pass
+
+    def test_trace_writes_op_summary(self, tmp_path):
+        """trace() exit parses the .xplane.pb (tst.aux.xplane: transcribed
+        proto, protoc-generated reader) into op_summary.json."""
+        import json
+
+        from tst.aux.profile import trace
+
+        d = str(tmp_path / "prof")
+        with trace(d):
+            jax.jit(lambda x: (x @ x).sum())(jnp.ones((64, 64))).block_until_ready()
+        p = os.path.join(d, "op_summary.json")
+        assert os.path.exists(p), "op_summary.json not written"
+        data = json.loads(open(p).read())
+        assert "top_ops" in data and isinstance(data["top_ops"], list)
+
+    def test_xplane_parser_on_captured_trace(self, tmp_path):
+        from tst.aux.xplane import find_xplane, load_xspace
+
+        d = str(tmp_path / "prof")
+        from tst.aux.profile import trace
+
+        with trace(d):
+            jnp.ones(8).sum().block_until_ready()
+        xp = find_xplane(d)
+        assert xp is not None
+        space = load_xspace(xp)
+        assert len(space.planes) > 0
+        assert all(isinstance(p.name, str) for p in space.planes)

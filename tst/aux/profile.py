@@ -16,7 +16,11 @@ from typing import Any, Dict, Optional
 @contextlib.contextmanager
 def trace(profile_dir: Optional[str]):
     """``with trace("/tmp/prof"):`` → XProf/TensorBoard trace of the block.
-    No-op when profile_dir is None (zero overhead in production runs)."""
+    No-op when profile_dir is None (zero overhead in production runs).
+
+    On exit the captured .xplane.pb is summarized into
+    ``<profile_dir>/op_summary.json`` (top device ops by total time) via
+    tst.aux.xplane — readable without TensorBoard."""
     if not profile_dir:
         yield
         return
@@ -27,6 +31,27 @@ def trace(profile_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+        try:
+            write_op_summary(profile_dir)
+        except Exception:  # the trace itself is the product; never fail a run
+            pass
+
+
+def write_op_summary(profile_dir: str, top: int = 60) -> Optional[str]:
+    """Summarize the newest trace in ``profile_dir`` → op_summary.json."""
+    import json
+    import os
+
+    from tst.aux.xplane import device_op_summary, find_xplane
+
+    xp = find_xplane(profile_dir)
+    if xp is None:
+        return None
+    ops = device_op_summary(xp)
+    out = os.path.join(profile_dir, "op_summary.json")
+    with open(out, "w") as f:
+        json.dump({"xplane": xp, "top_ops": ops[:top]}, f, indent=1)
+    return out
 
 
 def cost_analysis(fn, *args) -> Dict[str, Any]:
