@@ -50,7 +50,7 @@ def main():
         mask = jnp.asarray(tb.loss_mask)
         pos = jnp.asarray(tb.answer_pos)
         batches = make_fold_batches(fold_id, K, B, epochs=10, seed=0)
-        for remat in (True, "attn"):
+        for remat in (True, "attn", "dots", "dots_flash"):
             try:
                 tr = FoldTrainer(spec, lspec, k=K, lr=1e-4,
                                  total_steps=STEPS + WARM, use_pallas=on_tpu,

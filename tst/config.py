@@ -48,8 +48,11 @@ class ModelConfig:
     fused_mlp: bool = False  # Pallas fused SwiGLU MLP (B12); measured slower
     # than XLA's own fusion in the train step on v5e — see docs/RESULTS.md
     remat: Any = False  # False | True (full) | "dots" (save matmul outputs)
-    # | "dots_attn" (dots + attention output: no flash-fwd recompute in bwd)
-    # | "light" (save all but the [S, d_ff] MLP hiddens)
+    # | "dots_attn" / "dots_flash" (dots + attention output / + flash
+    #   residuals) | "light" (all but the [S, d_ff] MLP hiddens) | "attn"
+    #   (only the attention tensors — the long-seq middle ground);
+    # measured guidance in docs/RESULTS.md: "dots" for short seq, True for
+    # 16k+ (the dots-family exceeds the schedulable HBM there)
     quantize: str = "none"  # "none" | "int8" — weights-only base quantization
     # (int8 halves base HBM: Llama-3-8B fits a single 16 GB v5e chip)
 

@@ -127,6 +127,10 @@ def spec_by_name(name: str, **overrides) -> ModelSpec:
     return dataclasses.replace(spec, **overrides) if overrides else spec
 
 
+#: stable per-projection ids for LoRA-dropout rng folding
+_PROJ_IDS = {n: i for i, n in enumerate(
+    ("q", "k", "v", "o", "gate", "up", "down"))}
+
 #: Logical sharding axes per parameter path (mesh rules live in runtime/mesh.py).
 #: Convention: linear weights are stored [in, out] ("x @ w" orientation).
 PARAM_AXES: Dict[str, tuple] = {
@@ -322,6 +326,7 @@ def apply_model(
     fused_mlp: bool = False,
     ring_mesh=None,
     ring_axis: str = "seq",
+    lora_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Forward pass → logits f32 [B, S, V].
 
@@ -349,6 +354,7 @@ def apply_model(
         h_in = carry
         lw = scanned["w"]
         la = scanned.get("lora")
+        layer_rng = scanned.get("lora_rng")
 
         def proj(name, y, w_key):
             # bf16-out dot == f32-out dot + astype (MXU accumulates f32
@@ -358,7 +364,12 @@ def apply_model(
             out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
                              preferred_element_type=spec.dtype)
             if la is not None and name in la:
-                out = out + apply_lora_delta(la[name], y, lora_spec)
+                rng = None
+                if layer_rng is not None:
+                    # distinct mask per projection, deterministic in
+                    # (step, layer, projection)
+                    rng = jax.random.fold_in(layer_rng, _PROJ_IDS[name])
+                out = out + apply_lora_delta(la[name], y, lora_spec, rng=rng)
             bias_key = {"q": "bq", "k": "bk", "v": "bv"}.get(name)
             if bias_key and bias_key in lw:
                 out = out + lw[bias_key].astype(spec.dtype)
@@ -427,6 +438,8 @@ def apply_model(
     scanned = {"w": params["layers"]}
     if lora is not None:
         scanned["lora"] = lora
+        if lora_rng is not None and getattr(lora_spec, "dropout", 0.0) > 0.0:
+            scanned["lora_rng"] = jax.random.split(lora_rng, spec.n_layers)
     x, kv = jax.lax.scan(body, x, scanned)
 
     x = rms_norm(x, params["final_norm"], spec.rms_eps)

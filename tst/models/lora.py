@@ -22,7 +22,7 @@ as the base weight it patches, so no extra collectives are introduced
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,10 @@ class LoraSpec:
     alpha: float = 32.0
     targets: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj")
     dtype: Any = jnp.bfloat16
+    #: train-time inverted dropout on the adapter input (PEFT convention);
+    #: applied only when the caller threads an rng (training), never at
+    #: inference/serving
+    dropout: float = 0.0
 
     def __post_init__(self):
         bad = set(self.targets) - set(_TARGET_DIMS)
@@ -88,14 +92,25 @@ def init_lora(rng: jax.Array, model_spec, spec: LoraSpec) -> Params:
     return out
 
 
-def apply_lora_delta(layer_lora: Params, x: jnp.ndarray, spec: LoraSpec) -> jnp.ndarray:
+def apply_lora_delta(layer_lora: Params, x: jnp.ndarray, spec: LoraSpec,
+                     rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Per-layer delta: scale * (x @ a^T) @ b^T. x: [B, S, in] → [B, S, out].
 
     ``layer_lora`` holds THIS layer's slices (leading layer axis consumed by
     the decoder's scan): a [r, in], b [out, r].
+
+    ``rng``: when given and ``spec.dropout > 0``, inverted dropout is
+    applied to the adapter INPUT (PEFT convention: only the low-rank path is
+    regularized; the frozen base path is untouched). Inference/serving paths
+    pass no rng — dropout is train-only by construction.
     """
     a = layer_lora["a"]
     b = layer_lora["b"]
+    if rng is not None and spec.dropout > 0.0:
+        keep = 1.0 - spec.dropout
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        x = jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                      jnp.zeros((), x.dtype))
     # preferred_element_type = x.dtype: the MXU accumulates f32 internally
     # either way; emitting the working dtype directly makes the remat-saved
     # dot outputs half the bytes of an f32-out + astype pair (bit-identical

@@ -41,16 +41,12 @@ def build_tokenizer(cfg: RunConfig):
 
 
 def lora_spec_from_cfg(cfg: RunConfig, dtype) -> LoraSpec:
-    """Build the LoraSpec, rejecting config knobs that would otherwise be
-    silently ignored (same validation for every entry point)."""
-    if cfg.lora.dropout:
-        raise NotImplementedError(
-            "lora.dropout is not implemented; set it to 0 (adapters are "
-            "trained for a handful of epochs on small test sets — dropout "
-            "has not been needed)"
-        )
+    """Build the LoraSpec (same validation for every entry point)."""
+    if not 0.0 <= float(cfg.lora.dropout) < 1.0:
+        raise ValueError(f"lora.dropout must be in [0, 1), got {cfg.lora.dropout}")
     return LoraSpec(rank=cfg.lora.rank, alpha=cfg.lora.alpha,
-                    targets=tuple(cfg.lora.targets), dtype=dtype)
+                    targets=tuple(cfg.lora.targets), dtype=dtype,
+                    dropout=float(cfg.lora.dropout))
 
 
 def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[str, Any]]:

@@ -49,11 +49,13 @@ def sft_loss(
     remat: bool = False,
     ring_mesh=None,
     fused_mlp: bool = False,
+    lora_rng=None,
 ) -> jnp.ndarray:
     """Prompt-masked causal-LM cross entropy (mean over target tokens)."""
     logits = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
                          use_pallas=use_pallas, remat=remat,
-                         ring_mesh=ring_mesh, fused_mlp=fused_mlp)  # [B, S, V] f32
+                         ring_mesh=ring_mesh, fused_mlp=fused_mlp,
+                         lora_rng=lora_rng)  # [B, S, V] f32
     labels = tokens[:, 1:]
     w = loss_mask[:, 1:]
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
@@ -74,6 +76,7 @@ def sft_loss_window(
     remat: bool = False,
     ring_mesh=None,
     fused_mlp: bool = False,
+    lora_rng=None,
 ) -> jnp.ndarray:
     """Same loss as :func:`sft_loss`, but the vocab projection runs only on
     the ``t_max``-token answer window instead of all S positions.
@@ -87,7 +90,8 @@ def sft_loss_window(
     """
     h = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
                     use_pallas=use_pallas, remat=remat, return_hidden=True,
-                    ring_mesh=ring_mesh, fused_mlp=fused_mlp)
+                    ring_mesh=ring_mesh, fused_mlp=fused_mlp,
+                    lora_rng=lora_rng)
     s = tokens.shape[1]
     rows = answer_pos[:, None] + jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [B, T]
     in_range = rows <= s - 2
@@ -153,6 +157,22 @@ def make_fold_batches(
             stream.extend(rng.permutation(rows).tolist())
         out[:, f, :] = np.asarray(stream[: total * b], np.int32).reshape(total, b)
     return out
+
+
+def _opt_count(opt_state) -> jnp.ndarray:
+    """First ``count`` field in an optax state tree (the optimizer step).
+    optax.tree_utils.tree_get raises on adamw (two counts: adam + schedule);
+    either one is the step index."""
+    # NB: plain tuples expose a builtin .count METHOD — only namedtuple
+    # states (ScaleByAdamState etc.) carry a real count field
+    if hasattr(opt_state, "_fields") and "count" in opt_state._fields:
+        return opt_state.count
+    if isinstance(opt_state, (tuple, list)):
+        for item in opt_state:
+            found = _opt_count(item)
+            if found is not None:
+                return found
+    return None
 
 
 #: (spec, lora_spec, optimizer hyperparams, flags) → jitted fold-train step
@@ -258,16 +278,26 @@ class FoldTrainer:
         ring_mesh = self.ring_mesh
         tx = self.tx
 
-        def one_fold(base, lora, opt_state, tokens, mask, pos):
+        dropout = getattr(lspec, "dropout", 0.0) > 0.0
+
+        def one_fold(base, lora, opt_state, tokens, mask, pos, fold_idx):
+            lora_rng = None
+            if dropout:
+                # deterministic in (fold, optimizer step): fresh masks every
+                # step with no change to the jitted step's signature
+                count = _opt_count(opt_state)
+                lora_rng = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.key(0x10A0), fold_idx),
+                    count)
             if t_max is None:
                 loss, grads = jax.value_and_grad(sft_loss, argnums=1)(
                     base, lora, tokens, mask, spec, lspec, use_pallas, remat,
-                    ring_mesh, fused_mlp
+                    ring_mesh, fused_mlp, lora_rng
                 )
             else:
                 loss, grads = jax.value_and_grad(sft_loss_window, argnums=1)(
                     base, lora, tokens, mask, pos, t_max, spec, lspec,
-                    use_pallas, remat, ring_mesh, fused_mlp
+                    use_pallas, remat, ring_mesh, fused_mlp, lora_rng
                 )
             updates, opt_state = tx.update(grads, opt_state, lora)
             lora = optax.apply_updates(lora, updates)
@@ -278,8 +308,9 @@ class FoldTrainer:
             tokens = all_tokens[idx_kB]  # [k, B, S] — on-device gather
             mask = all_mask[idx_kB]
             pos = all_pos[idx_kB]
-            return jax.vmap(one_fold, in_axes=(None, 0, 0, 0, 0, 0))(
-                base, lora_k, opt_k, tokens, mask, pos
+            folds = jnp.arange(idx_kB.shape[0], dtype=jnp.uint32)
+            return jax.vmap(one_fold, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                base, lora_k, opt_k, tokens, mask, pos, folds
             )
 
         _STEP_CACHE[key] = step
