@@ -256,6 +256,32 @@ def main() -> None:
         except Exception as e:
             print(f"long-seq leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ── KV-cached greedy decode leg (numeric/open scoring; B15). NB: model
+    # params flow through the jit boundary as ARGUMENTS — closing over them
+    # embeds the model as module constants and compile time scales with
+    # model bytes (tst/train/infer.py::_make_decode_fn) ──
+    decode = None
+    if on_tpu:
+        try:
+            from tst.models.decode import greedy_decode
+
+            DB, MAX_NEW = 32, 16
+            rows = np.arange(DB) % tokens.shape[0]
+            dtoks = tokens[rows]
+            dlen = jnp.minimum(pos[rows] + 1, SEQ - MAX_NEW)
+            fn = jax.jit(lambda prm, t, pl_: greedy_decode(
+                prm, t, pl_, MAX_NEW, spec, use_pallas=False))
+            np.asarray(fn(params, dtoks, dlen))  # compile
+            t0 = time.perf_counter()
+            for _ in range(3):
+                gen = fn(params, dtoks, dlen)
+            np.asarray(gen)
+            dt = (time.perf_counter() - t0) / 3
+            decode = {"tokens_per_s": round(DB * MAX_NEW / dt, 1),
+                      "batch": DB, "max_new": MAX_NEW}
+        except Exception as e:
+            print(f"decode leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     value = par["samples_per_s"] / max(n_chips, 1)
     out = {
         "metric": "blind_sft_samples_per_sec_per_chip",
@@ -277,6 +303,13 @@ def main() -> None:
         "compile_s_single_fold": round(seq_compile_s, 1),
         "step_hbm_gb": par["hbm_gb"],
     }
+    # tracked metric 2 (BASELINE.json "fold fine-tunes/hour"): one fold
+    # fine-tune at the config-2 shape = 3 epochs over its (k-1)/k train split
+    # of n=512; the fold-parallel program completes k of them concurrently at
+    # `value` samples/s/chip.
+    samples_per_finetune = 3 * int(512 * (K - 1) / K)
+    out["fold_finetunes_per_hour_per_chip"] = round(
+        value * 3600.0 / samples_per_finetune, 1)
     if par["mfu"]:
         out["mfu"] = round(par["mfu"], 3)
         out["tflops_per_s"] = round(par["flops_per_step"] / (par["step_ms"] / 1e3) / 1e12, 1)
@@ -290,6 +323,9 @@ def main() -> None:
     if longseq is not None:
         out["longseq_tokens_per_s"] = longseq["tokens_per_s"]
         out["longseq_len"] = longseq["seq_len"]
+    if decode is not None:
+        out["decode_tokens_per_s"] = decode["tokens_per_s"]
+        out["decode_batch"] = decode["batch"]
     print(json.dumps(out))
 
 

@@ -98,3 +98,38 @@ class TestNumericParse:
             arr[i, : len(r)] = r
         vals = decode_numeric(arr, tok)
         assert vals[0] == 12.5 and vals[1] == 7.0 and np.isnan(vals[2])
+
+
+class TestDecodeCompileScaling:
+    def test_no_model_constants_in_lowered_module(self):
+        """The held-out decode program must take the model as an ARGUMENT.
+
+        Closing over params embeds them as literal constants in the lowered
+        module; XLA compile time then scales with model BYTES (measured: the
+        0.5B decode program went from ~3 s to 10+ min of compile). Pin the
+        property structurally: the lowered text of the infer-path decode fn
+        at a wide geometry stays small (embedded f32 weights would add tens
+        of MB of hex literals).
+        """
+        from tst.train.infer import _make_decode_fn
+
+        spec = spec_by_name(
+            "tiny", dtype=jnp.float32, d_model=512, d_ff=2048, n_heads=8,
+            n_kv_heads=2, d_head=64,
+        )
+        params = init_params(jax.random.key(0), spec)  # ~tens of MB f32
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        lora = init_lora(jax.random.key(1), spec, lspec)
+        lora_k = jax.tree.map(lambda x: x[None], lora)  # k=1 fold axis
+        tokens = jnp.ones((8, 128), jnp.int32)
+        plen = jnp.full((8,), 64, jnp.int32)
+        idx = jnp.zeros((1, 4), jnp.int32)
+        fn = _make_decode_fn(spec, lspec, max_new=4, use_pallas=False,
+                             with_lora=True)
+        text = fn.lower(params, lora_k, tokens, plen, idx).as_text()
+        n_bytes = sum(
+            int(np.prod(p.shape)) * 4 for p in jax.tree.leaves(params))
+        assert n_bytes > 20e6  # the test only means something at this size
+        assert len(text) < 5_000_000, (
+            f"lowered module is {len(text)/1e6:.1f} MB — model weights are "
+            "being embedded as constants again")

@@ -79,13 +79,17 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
         q = rope_one(proj("q", h, "wq").reshape(b, 1, spec.n_heads, spec.d_head))
         k_new = rope_one(proj("k", h, "wk").reshape(b, 1, spec.n_kv_heads, spec.d_head))
         v_new = proj("v", h, "wv").reshape(b, 1, spec.n_kv_heads, spec.d_head)
-        # write the new K/V row at each row's position
-        kc = jax.vmap(lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (p, 0, 0)))(
-            kc, k_new, pos_b
-        )
-        vc = jax.vmap(lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (p, 0, 0)))(
-            vc, v_new, pos_b
-        )
+        # write the new K/V row at each row's position. A mask-select write,
+        # NOT a vmapped dynamic_update_slice: per-row-position DUS lowers to
+        # a batched scatter whose TPU AOT compile is pathological (>40 min
+        # for a 24-layer, 16-step decode program in this environment); the
+        # one-hot select compiles in seconds and the decode step streams the
+        # whole cache for attention anyway, so the extra write bandwidth is
+        # already paid.
+        at_pos = (jnp.arange(s_max, dtype=jnp.int32)[None, :]
+                  == pos_b[:, None])[:, :, None, None]  # [B, S, 1, 1]
+        kc = jnp.where(at_pos, k_new.astype(kc.dtype), kc)
+        vc = jnp.where(at_pos, v_new.astype(vc.dtype), vc)
         # attend q (1 token) over the cache, masked to positions <= pos
         groups = spec.n_heads // spec.n_kv_heads
         qg = q.reshape(b, spec.n_kv_heads, groups, spec.d_head)

@@ -156,6 +156,42 @@ def score_heldout_mcq(
     return letter_probs(np.asarray(ll), n_options, idx, valid, tokens.shape[0])
 
 
+#: (spec, lora_spec, max_new, use_pallas, with_lora) → jitted decode program
+_DECODE_CACHE: Dict = {}
+
+
+def _make_decode_fn(spec, lora_spec, max_new: int, use_pallas: bool,
+                    with_lora: bool):
+    """Jitted fold-vmapped greedy decode with EVERYTHING as arguments.
+
+    Closing over ``base``/``tokens`` (the obvious one-liner) embeds the full
+    model as literal constants in the lowered module — XLA compile time then
+    scales with model BYTES, not program size (measured: the 0.5B decode
+    program goes from 3 s to 10+ min of compile). Model/data must flow
+    through the jit boundary as arguments.
+    """
+    key = (spec, lora_spec, max_new, use_pallas, with_lora)
+    cached = _DECODE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from tst.models.decode import greedy_decode
+
+    @jax.jit
+    def decode_all(base, lora_k, all_tokens, prompt_len, idx_kM):
+        def per_fold(lora, idx_f):
+            return greedy_decode(
+                base, all_tokens[idx_f], prompt_len[idx_f], max_new, spec,
+                lora=lora, lora_spec=lora_spec, use_pallas=use_pallas,
+            )
+
+        if not with_lora:
+            return jax.vmap(lambda i: per_fold(None, i))(idx_kM)
+        return jax.vmap(per_fold)(lora_k, idx_kM)
+
+    _DECODE_CACHE[key] = decode_all
+    return decode_all
+
+
 def _decode_heldout_rows(
     base, lora_k, spec, lora_spec, tokens, answer_pos, rows: np.ndarray,
     fold_id: np.ndarray, k: int, max_new: int, use_pallas: bool,
@@ -168,8 +204,6 @@ def _decode_heldout_rows(
     constant decode-program shape (one compile for the whole loop).
     Returns (gen [k, M, max_new], idx [k, M], valid [k, M]).
     """
-    from tst.models.decode import greedy_decode
-
     rows_by_fold = [rows[fold_id[rows] == f] for f in range(k)]
     m = pad_to or max(max((len(r) for r in rows_by_fold), default=1), 1)
     if max((len(r) for r in rows_by_fold), default=0) > m:
@@ -181,17 +215,9 @@ def _decode_heldout_rows(
         valid[f, : len(r)] = True
 
     prompt_len = answer_pos + 1  # decode continues right after the marker
-
-    def per_fold(lora, idx_f):
-        return greedy_decode(
-            base, tokens[idx_f], prompt_len[idx_f], max_new, spec,
-            lora=lora, lora_spec=lora_spec, use_pallas=use_pallas,
-        )
-
-    if lora_k is None:
-        gen = jax.jit(jax.vmap(lambda i: per_fold(None, i)))(jnp.asarray(idx))
-    else:
-        gen = jax.jit(jax.vmap(per_fold))(lora_k, jnp.asarray(idx))
+    fn = _make_decode_fn(spec, lora_spec, max_new, use_pallas,
+                         with_lora=lora_k is not None)
+    gen = fn(base, lora_k, tokens, prompt_len, jnp.asarray(idx))
     return np.asarray(gen), idx, valid  # [k, M, max_new]
 
 
