@@ -193,5 +193,11 @@ class TestSynthetic:
 
     def test_numeric(self):
         ds = make_synthetic_numeric(n=16)
+        # CLI route: load_benchmark("synthetic-numeric") reaches the same
+        # generator (the decode-scored numeric path is CLI-drivable)
+        from tst.data.adapters import load_benchmark
+
+        ds_cli = load_benchmark("synthetic-numeric", n=16, seed=0)
+        assert [x.id for x in ds_cli] == [x.id for x in ds]
         assert all(s.answer_type == NUMERIC for s in ds)
         assert np.isfinite([s.answer_value for s in ds]).all()

@@ -85,12 +85,6 @@ def device_op_summary(
                 em = meta.get(ev.metadata_id)
                 name = (em.display_name or em.name) if em else str(ev.metadata_id)
                 category = ""
-                if em:
-                    for st in em.stats:
-                        sm = smeta.get(st.metadata_id)
-                        if sm is not None and sm.name == "equation":
-                            continue
-                    # HLO category arrives as an event stat on most versions
                 for st in ev.stats:
                     sm = smeta.get(st.metadata_id)
                     if sm is not None and sm.name == "hlo_category":

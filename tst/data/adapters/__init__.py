@@ -27,14 +27,20 @@ def load_benchmark(name: str, source=None, split=None, **kw):
     """
     include_open = kw.pop("include_open", None)  # only MMMU has an open split
     if name.startswith("synthetic"):
-        from tst.data.synthetic import make_synthetic_mcq, make_synthetic_open
+        from tst.data.synthetic import (make_synthetic_mcq,
+                                        make_synthetic_numeric,
+                                        make_synthetic_open)
 
         # "synthetic[:bias_fraction[:bias_kind]]" | "synthetic-open[:bias]"
+        # | "synthetic-numeric" (VSI-style numeric answers, decode-scored)
         parts = name.split(":")
         bias = float(parts[1]) if len(parts) > 1 else 0.0
         if parts[0] == "synthetic-open":
             return make_synthetic_open(n=kw.pop("n", 128), bias_fraction=bias,
                                        seed=kw.pop("seed", 0))
+        if parts[0] == "synthetic-numeric":
+            return make_synthetic_numeric(n=kw.pop("n", 128),
+                                          seed=kw.pop("seed", 0))
         if len(parts) > 2:
             kw.setdefault("bias_kind", parts[2])
         return make_synthetic_mcq(n=kw.pop("n", 256), bias_fraction=bias, **kw)
