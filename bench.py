@@ -219,7 +219,26 @@ def main() -> None:
                 "hbm_gb": _mem_gb(compiled8),
                 "compile_s": compile8_s,
             }
-            del params8, lora8, opt8, compiled8
+            del lora8, opt8, compiled8
+            # north-star fold count at 8B on the SAME single chip (k=5 needs
+            # full remat — dots-remat activations exceed the ~7 GB left over
+            # the int8 base). The reference's per-fold jobs cannot hold even
+            # ONE bf16 replica here.
+            tr5 = FoldTrainer(spec8, lspec8, k=5, lr=1e-4, total_steps=10,
+                              use_pallas=True, remat=True, t_max=t_max)
+            lora5, opt5 = tr5.init_state(jax.random.key(1))
+            b5 = make_fold_batches(fold_id, 5, 1, epochs=5, seed=0)
+            for t in range(2):
+                lora5, opt5, loss5 = tr5._step_fn(params8, lora5, opt5, tokens,
+                                                  mask, pos, jnp.asarray(b5[t]))
+            np.asarray(loss5)
+            t0 = time.perf_counter()
+            for t in range(2, 7):
+                lora5, opt5, loss5 = tr5._step_fn(params8, lora5, opt5, tokens,
+                                                  mask, pos, jnp.asarray(b5[t]))
+            np.asarray(loss5)
+            llama8b["k5_samples_per_s"] = 5 / ((time.perf_counter() - t0) / 5)
+            del params8, lora5, opt5
         except Exception as e:  # never fail the primary metric
             print(f"8B leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -320,6 +339,9 @@ def main() -> None:
             out["llama3_8b_mfu"] = round(llama8b["mfu"], 3)
         out["llama3_8b_base_hbm_gb"] = llama8b["base_hbm_gb"]
         out["llama3_8b_step_hbm_gb"] = llama8b["hbm_gb"]
+        if "k5_samples_per_s" in llama8b:
+            out["llama3_8b_k5_fold_parallel_samples_per_sec_per_chip"] = round(
+                llama8b["k5_samples_per_s"] / max(n_chips, 1), 3)
     if longseq is not None:
         out["longseq_tokens_per_s"] = longseq["tokens_per_s"]
         out["longseq_len"] = longseq["seq_len"]
