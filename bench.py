@@ -223,23 +223,34 @@ def main() -> None:
             # north-star fold count at 8B on the SAME single chip (k=5 needs
             # full remat — dots-remat activations exceed the ~7 GB left over
             # the int8 base). The reference's per-fold jobs cannot hold even
-            # ONE bf16 replica here.
-            tr5 = FoldTrainer(spec8, lspec8, k=5, lr=1e-4, total_steps=10,
-                              use_pallas=True, remat=True, t_max=t_max)
-            lora5, opt5 = tr5.init_state(jax.random.key(1))
-            b5 = make_fold_batches(fold_id, 5, 1, epochs=5, seed=0)
-            for t in range(2):
-                lora5, opt5, loss5 = tr5._step_fn(params8, lora5, opt5, tokens,
-                                                  mask, pos, jnp.asarray(b5[t]))
-            np.asarray(loss5)
-            t0 = time.perf_counter()
-            for t in range(2, 7):
-                lora5, opt5, loss5 = tr5._step_fn(params8, lora5, opt5, tokens,
-                                                  mask, pos, jnp.asarray(b5[t]))
-            np.asarray(loss5)
-            llama8b["k5_samples_per_s"] = 5 / ((time.perf_counter() - t0) / 5)
-            del params8, lora5, opt5
+            # ONE bf16 replica here. Nested try: a k=5 failure must not
+            # discard the already-collected k=2 figures, and params8 must be
+            # freed either way so later legs aren't starved of HBM.
+            try:
+                tr5 = FoldTrainer(spec8, lspec8, k=5, lr=1e-4, total_steps=10,
+                                  use_pallas=True, remat=True, t_max=t_max)
+                lora5, opt5 = tr5.init_state(jax.random.key(1))
+                b5 = make_fold_batches(fold_id, 5, 1, epochs=5, seed=0)
+                for t in range(2):
+                    lora5, opt5, loss5 = tr5._step_fn(
+                        params8, lora5, opt5, tokens, mask, pos,
+                        jnp.asarray(b5[t]))
+                np.asarray(loss5)
+                t0 = time.perf_counter()
+                for t in range(2, 7):
+                    lora5, opt5, loss5 = tr5._step_fn(
+                        params8, lora5, opt5, tokens, mask, pos,
+                        jnp.asarray(b5[t]))
+                np.asarray(loss5)
+                llama8b["k5_samples_per_s"] = 5 / ((time.perf_counter() - t0) / 5)
+                del lora5, opt5
+            except Exception as e:
+                print(f"8B k=5 leg skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+            finally:
+                del params8
         except Exception as e:  # never fail the primary metric
+            params8 = None  # free the int8 base for the remaining legs
             print(f"8B leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
     # ── long-sequence leg: S=16384 through the flash path (VideoMME
@@ -249,11 +260,13 @@ def main() -> None:
         try:
             tb16 = tokenize_dataset(ds, ByteTokenizer(), max_len=16384)
             t16 = int(np.max(tb16.lengths - tb16.answer_pos - 1))
-            # full remat: the "dots" policy would SAVE every layer's [S, F]
-            # matmul outputs — at S=16k that is 2x 7.1 GB for the MLP hiddens
-            # alone (measured OOM, 22.5 GB > 15.75 GB HBM)
+            # remat="attn": saves only the attention tensors + flash
+            # residuals (no backward kernel re-run; the MLP recomputes) —
+            # +17% over full remat at 16k (docs/RESULTS.md). The dots
+            # family exceeds schedulable HBM at this length, and at 32k
+            # even "attn" does (fall back to remat=True there).
             trL = FoldTrainer(spec, lspec, k=2, lr=1e-4, total_steps=8,
-                              use_pallas=True, remat=True, t_max=t16)
+                              use_pallas=True, remat="attn", t_max=t16)
             loraL, optL = trL.init_state(jax.random.key(1))
             bL = make_fold_batches(fold_id, 2, 1, epochs=10, seed=0)
             tokL = jnp.asarray(tb16.tokens)

@@ -1,64 +1,44 @@
-"""Profile the fold-parallel 0.5B train step and print the top HLO ops.
+"""Profile the fold-parallel 0.5B train step and print the top device ops.
 
-Captures an XProf trace of a few steady-state steps, then converts the
-xplane with tensorboard_plugin_profile into per-op statistics — where the
-190 ms actually goes (matmul vs elementwise recompute vs flash kernels vs
-optimizer). Run: python scripts/profile_step.py [n_top]
+Captures an XProf trace of a few steady-state steps, then summarizes the
+xplane via tst.aux.xplane (no TensorBoard needed) — where the step time
+actually goes (matmul vs elementwise recompute vs flash kernels vs saves).
+Pair with scripts/dump_hlo.py + scripts/analyze_profile.py to map fusion
+names back to source ops. Run: python scripts/profile_step.py
 """
 
 from __future__ import annotations
 
 import glob
 import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tst.aux.ckpt import enable_compilation_cache
-from tst.data.folds import kfold_assign
-from tst.data.synthetic import make_synthetic_mcq
-from tst.data.tokenize import ByteTokenizer, tokenize_dataset
-from tst.models.decoder import init_params, spec_by_name
-from tst.models.lora import LoraSpec
-from tst.train.sft import FoldTrainer, make_fold_batches
+from _workload import make_workload
+
+from tst.train.sft import FoldTrainer
 
 
 def main():
-    enable_compilation_cache()
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    spec = spec_by_name("qwen2.5-0.5b" if on_tpu else "small")
-    K, BATCH, SEQ = 5, 4, 512
-
-    ds = make_synthetic_mcq(n=256, bias_fraction=0.5, seed=0)
-    tb = tokenize_dataset(ds, ByteTokenizer(), max_len=SEQ)
-    fold_id = kfold_assign(ds, K, seed=0)
-    lspec = LoraSpec(rank=16, alpha=32.0, dtype=spec.dtype)
-    t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
-    params = init_params(jax.random.key(0), spec)
-    tokens = jnp.asarray(tb.tokens)
-    mask = jnp.asarray(tb.loss_mask)
-    pos = jnp.asarray(tb.answer_pos)
-    batches = make_fold_batches(fold_id, K, BATCH, epochs=10, seed=0)
-
-    tr = FoldTrainer(spec, lspec, k=K, lr=1e-4, total_steps=16,
-                     use_pallas=on_tpu, remat="dots" if on_tpu else False,
-                     t_max=t_max)
+    w = make_workload()
+    tr = FoldTrainer(w.spec, w.lspec, k=w.k, lr=1e-4, total_steps=16,
+                     use_pallas=w.on_tpu,
+                     remat="dots" if w.on_tpu else False, t_max=w.t_max)
+    batches = w.batches()
     lora, opt = tr.init_state(jax.random.key(1))
     for t in range(3):  # compile + warm
-        lora, opt, loss = tr._step_fn(params, lora, opt, tokens, mask, pos,
-                                      jnp.asarray(batches[t]))
+        lora, opt, loss = tr._step_fn(w.params, lora, opt, w.tokens, w.mask,
+                                      w.pos, jnp.asarray(batches[t]))
     np.asarray(loss)
 
     trace_dir = "/tmp/tst_profile"
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
         for t in range(3, 8):
-            lora, opt, loss = tr._step_fn(params, lora, opt, tokens, mask,
-                                          pos, jnp.asarray(batches[t]))
+            lora, opt, loss = tr._step_fn(w.params, lora, opt, w.tokens,
+                                          w.mask, w.pos, jnp.asarray(batches[t]))
         np.asarray(loss)
 
     xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)

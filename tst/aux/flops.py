@@ -69,13 +69,20 @@ def train_step_flops(
     hardware = model
     if remat is True:  # full remat: one extra forward during backward
         hardware = model + fwd_matmul + attn_fwd
-    elif remat == "dots":
-        # dots saves matmul outputs but NOT the Pallas flash output (not a
-        # dot_general) — the flash forward re-runs during backward
+    elif remat in ("dots", "dots_attn"):
+        # dots saves matmul outputs but NOT the Pallas flash residuals
+        # (o/lse are not dot_generals) — the flash forward re-runs during
+        # backward. "dots_attn" additionally saves the reshaped attention
+        # output, which helps the o-proj grad but does NOT avoid the kernel
+        # re-run (only "dots_flash" saves the residuals).
         hardware = model + attn_fwd
     elif remat == "light":
         # save-all-but-MLP-hiddens: backward re-runs gate/up matmuls + silu
         hardware = model + 2.0 * (2 * d * f) * L * tokens
-    # "dots_attn"/"dots_flash" and False recompute no matmuls
+    elif remat == "attn":
+        # saves q/k/v + flash residuals (no kernel re-run); backward re-runs
+        # the o-projection and the MLP matmuls
+        hardware = model + 2.0 * (d * q + 3 * d * f) * L * tokens
+    # "dots_flash" and False recompute no matmuls and no flash kernels
     return {"model_flops": model, "hardware_flops": hardware,
             "fwd_flops": fwd_matmul + attn_fwd}

@@ -428,9 +428,9 @@ def flash_attention(
         # folded [groups*S] rows (default: all of them — one tall matmul).
         qf = qt.reshape(b, kv_heads, groups * s, d)
         bq = block_q or FOLD_BLOCK_Q or groups * s
+        if block_q is None and (groups * s) % bq:
+            bq = groups * s  # module-level override doesn't divide here
         bk = block_k or FOLD_BLOCK_K or _pick_block(s, target=512)
-        if (groups * s) % bq:
-            bq = groups * s  # override doesn't divide this geometry
         if (groups * s) % bq or s % bk:
             raise ValueError(
                 f"folded flash_attention: {groups}*{s} % block_q {bq} or "

@@ -10,8 +10,9 @@ numeric/open answers"). TPU realization:
   * **decode**: ``lax.scan`` over ``max_new`` steps; each step runs the
     layer-scan on ONE token, attends over the fixed-size cache with a
     position mask (static shapes — no recompilation per step), and
-    functionally updates the cache (XLA turns the per-step
-    dynamic_update_slice into an in-place write);
+    functionally updates the cache with a one-hot select over the position
+    axis (a per-row dynamic_update_slice would lower to a batched scatter,
+    whose TPU compile time is pathological — see the inline note);
   * greedy argmax; per-row prompt lengths handled by per-row cache
     positions. The whole prefill+decode is one jitted program, vmappable
     over the LoRA fold axis like every other stage.

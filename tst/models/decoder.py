@@ -281,13 +281,16 @@ def _remat_policy(remat):
             cp.dots_saveable,
             cp.save_only_these_names("flash_out", "flash_lse"))
     if remat == "attn":
-        # long-sequence mode: save ONLY the attention tensors (post-RoPE
-        # q/k, v, attention output — the inputs the flash backward needs),
-        # recompute the MLP and projections. ~2x q_dim + kv_dim per
-        # token/layer of saved bytes vs "dots"' 2x d_ff — the only policy
-        # between "full" and "dots" that fits 16k sequences.
+        # long-sequence mode: save ONLY the attention tensors — the flash
+        # kernel's inputs (post-RoPE q/k, v), its residuals (output +
+        # logsumexp: without these the backward re-runs the forward kernel),
+        # and the reshaped attention output. Recomputes the MLP and
+        # projections; ~2x q_dim + kv_dim per token/layer of saved bytes vs
+        # "dots"' 2x d_ff — the only policy between "full" and "dots" that
+        # fits 16k sequences.
         return cp.save_only_these_names(
-            "q_rope", "k_rope", "v_proj", "attn_out")
+            "q_rope", "k_rope", "v_proj", "attn_out",
+            "flash_out", "flash_lse")
     raise ValueError(f"unknown remat mode {remat!r}; use True/'full', "
                      "'dots', 'dots_attn', 'dots_flash', 'light', or 'attn'")
 
@@ -427,8 +430,9 @@ def apply_model(
         # silu/up-product and norm intermediates. NB: the Pallas flash output
         # is NOT a dot_general, so "dots" recomputes the flash forward in the
         # backward pass.
-        # remat="dots_attn": dots + the attention output — no flash-forward
-        # recompute, +d_model per token/layer of saved bytes.
+        # remat="dots_attn": dots + the reshaped attention output (saves the
+        # o-projection's input; the flash kernel still re-runs in backward —
+        # its residuals are only saved by "dots_flash").
         # remat="light": save every intermediate EXCEPT the [S, d_ff] MLP
         # hiddens (~77% of dots-saved bytes at Qwen-0.5B geometry); backward
         # re-runs only the gate/up matmuls + silu.
