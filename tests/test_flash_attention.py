@@ -135,6 +135,26 @@ class TestFoldedGQA:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, err_msg=f"d{name}")
 
+    def test_folded_grads_under_jit_and_vmap(self):
+        """The trainer composes vmap(fold axis) over the FOLDED schedule —
+        pin fwd+grad parity for exactly that composition."""
+        q, k, v = _make_qkv(b=1, s=128, h=4, kvh=2, d=32)
+        qs = jnp.stack([q, q * 1.1])
+        ks = jnp.stack([k, k * 0.9])
+        vs = jnp.stack([v, v])
+
+        def one(q, k, v):  # no explicit blocks → folded path
+            return jnp.sum(fa.flash_attention(q, k, v, causal=True) ** 2)
+
+        def one_ref(q, k, v):
+            return jnp.sum(fa.mha_reference(q, k, v, causal=True) ** 2)
+
+        g = jax.jit(jax.vmap(jax.grad(one, argnums=(0, 1, 2))))(qs, ks, vs)
+        gr = jax.vmap(jax.grad(one_ref, argnums=(0, 1, 2)))(qs, ks, vs)
+        for a, b, name in zip(g, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, err_msg=f"d{name}")
+
     def test_long_seq_stays_tiled(self):
         """groups*S over the cap must fall back to the tiled schedule."""
         s = fa.FOLD_MAX_ROWS  # groups=2 → 2*s > cap
