@@ -66,6 +66,35 @@ def _pick_block(s: int, target: int = 1024) -> int:
 # ───────────────────────────── forward ─────────────────────────────
 
 
+def _fwd_kernel_oneshot(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                        *, sm_scale, causal, block_q, block_k, pos_mod):
+    """Single-KV-tile forward: plain softmax, no online statistics.
+
+    When the whole KV sequence fits one tile (the folded-GQA regime at
+    short/mid sequence), the online-softmax machinery — f32 scratch
+    accumulators, per-tile rescaling, init/store grid phases — is pure
+    overhead; this kernel computes max/exp/sum/PV in one pass.
+    """
+    q_idx = pl.program_id(2)
+    q = q_ref[0, 0]  # [bq, d]
+    k = k_ref[0, 0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    if causal:
+        rows = _row_positions(block_q, block_k, q_idx, pos_mod)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0]
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+    lse_row = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37))
+    lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], (8, block_q))
+
+
 def _row_positions(block_q, block_k, q_idx, pos_mod):
     """Per-row sequence positions of a q tile. ``pos_mod`` is the folded-GQA
     marker: q rows are [G*S] (group-major), so position = row % S."""
@@ -134,6 +163,30 @@ def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
     kv_heads = k.shape[1]
     groups = h // kv_heads
     kv_s = k.shape[2]
+    if kv_s == block_k:
+        # whole-KV tiles: the scratch-free one-shot kernel
+        o, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_oneshot, sm_scale=sm_scale,
+                              causal=causal, block_q=block_q,
+                              block_k=block_k, pos_mod=pos_mod),
+            grid=(b, h, s // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, 8, s), jnp.float32),
+            ],
+            compiler_params=_compiler_params(("parallel", "parallel", "parallel")),
+            interpret=_INTERPRET,
+        )(q, k, v)
+        return o, lse
     grid = (b, h, s // block_q, kv_s // block_k)
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal,
