@@ -225,6 +225,60 @@ def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
 # ───────────────────────────── backward ─────────────────────────────
 
 
+def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                           dq_ref, *, sm_scale, causal, block_q, block_k,
+                           pos_mod):
+    """dQ with the whole KV in one tile: no scratch accumulator/phases."""
+    q_idx = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0][:, None]
+    di = di_ref[0, 0, 0][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if causal:
+        rows = _row_positions(block_q, block_k, q_idx, pos_mod)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - di) * sm_scale
+    dq_ref[0, 0] = jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                            dk_ref, dv_ref, *, sm_scale, causal, block_q,
+                            block_k, pos_mod):
+    """dK/dV with all q rows in one tile: no scratch accumulators/phases."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0][:, None]
+    di = di_ref[0, 0, 0][:, None]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if causal:
+        rows = _row_positions(block_q, block_k, 0, pos_mod)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - di) * sm_scale
+    dk_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
                    *, sm_scale, causal, block_q, block_k, kv_blocks, pos_mod):
     kv_idx = pl.program_id(3)
@@ -323,6 +377,59 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
     di = jnp.broadcast_to(di[:, :, None, :], (b, h, 8, s))  # sublane-replicated
 
+    if kv_s == block_k:
+        # whole-KV tiles (folded regime): scratch-free one-shot backward
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel_oneshot, sm_scale=sm_scale,
+                              causal=causal, block_q=block_q,
+                              block_k=block_k, pos_mod=pos_mod),
+            grid=(b, h, s // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            compiler_params=_compiler_params(("parallel", "parallel", "parallel")),
+            interpret=_INTERPRET,
+        )(q, k, v, do, lse, di)
+        if s == block_q:
+            # single q tile as well: one-shot dK/dV with the group-sum
+            # inside the [s]-contraction
+            dk_h, dv_h = pl.pallas_call(
+                functools.partial(_bwd_dkv_kernel_oneshot, sm_scale=sm_scale,
+                                  causal=causal, block_q=block_q,
+                                  block_k=block_k, pos_mod=pos_mod),
+                grid=(b, h),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q, d), lambda bi, hi: (bi, hi, 0, 0)),
+                    pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi // groups, 0, 0)),
+                    pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi // groups, 0, 0)),
+                    pl.BlockSpec((1, 1, block_q, d), lambda bi, hi: (bi, hi, 0, 0)),
+                    pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi: (bi, hi, 0, 0)),
+                    pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi: (bi, hi, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi, 0, 0)),
+                    pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi, 0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((b, h, kv_s, d), k.dtype),
+                    jax.ShapeDtypeStruct((b, h, kv_s, d), v.dtype),
+                ],
+                compiler_params=_compiler_params(("parallel", "parallel")),
+                interpret=_INTERPRET,
+            )(q, k, v, do, lse, di)
+            dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
+            dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
+            return dq, dk, dv
+        return dq, *_dkv_tiled(q, k, v, do, lse, di, sm_scale, causal,
+                               block_q, block_k, pos_mod, groups)
+
     # dQ: grid (b, h, q_blocks, kv_blocks), kv sequential
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
@@ -344,7 +451,17 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
         interpret=_INTERPRET,
     )(q, k, v, do, lse, di)
 
-    # dK/dV at q-head granularity: grid (b, h, kv_blocks, q_blocks), q sequential
+    return dq, *_dkv_tiled(q, k, v, do, lse, di, sm_scale, causal, block_q,
+                           block_k, pos_mod, groups)
+
+
+def _dkv_tiled(q, k, v, do, lse, di, sm_scale, causal, block_q, block_k,
+               pos_mod, groups):
+    """dK/dV at q-head granularity: grid (b, h, kv_blocks, q_blocks), q
+    sequential; per-q-head results are group-summed down to kv heads."""
+    b, h, s, d = q.shape
+    kv_heads = k.shape[1]
+    kv_s = k.shape[2]
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k,
@@ -377,7 +494,7 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
     # group-sum per-q-head dk/dv down to kv heads
     dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
     dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
-    return dq, dk, dv
+    return dk, dv
 
 
 # ───────────────────────────── public API ─────────────────────────────
