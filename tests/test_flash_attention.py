@@ -163,6 +163,22 @@ class TestFoldedGQA:
         ref = fa.mha_reference(q, k, v, causal=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
+    def test_explicit_fold_rejects_cross_attention_shapes(self):
+        """fold=True with kv seq != q seq would silently compute a wrong
+        pos % S causal mask — must be rejected (ADVICE r2)."""
+        q, _, _ = _make_qkv(b=1, s=128, h=4, kvh=2, d=32)
+        k2, v2 = (jax.random.normal(jax.random.key(9), (1, 256, 2, 32)),
+                  jax.random.normal(jax.random.key(10), (1, 256, 2, 32)))
+        with pytest.raises(ValueError, match="fold=True"):
+            fa.flash_attention(q, k2, v2, causal=True, fold=True)
+
+    def test_explicit_fold_rejects_unaligned_seq(self):
+        q = jax.random.normal(jax.random.key(0), (1, 192, 4, 32))
+        k = jax.random.normal(jax.random.key(1), (1, 192, 2, 32))
+        v = jax.random.normal(jax.random.key(2), (1, 192, 2, 32))
+        with pytest.raises(ValueError, match="fold=True"):
+            fa.flash_attention(q, k, v, causal=True, fold=True)
+
 
 class TestModelIntegration:
     def test_decoder_with_pallas_matches_xla(self):

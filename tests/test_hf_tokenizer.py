@@ -59,16 +59,96 @@ class TestHFTokenizer:
             first_target = tb.tokens[i, tb.answer_pos[i] + 1]
             assert first_target == tb.option_token_ids[s.answer_index]
 
-    def test_rejects_tokenizer_without_invariant(self, hf_tok):
-        """A tokenizer splitting ' A' into two tokens must be refused."""
-        class Fake:
-            pad_token_id, bos_token_id, eos_token_id = 0, 1, 2
+    def test_tokenizer_without_invariant_falls_back(self):
+        """A tokenizer splitting ' A' into two tokens routes to the
+        multi-token scoring fallback instead of being refused (VERDICT r2
+        weak #6)."""
+        t = HFTokenizer(_CharLevelFake())
+        assert t.single_token_options is False
+        seqs = t.option_token_seqs(4)
+        assert seqs.shape == (4, 2)  # ' ' + letter → two char tokens
+        assert (seqs >= 0).all()
+        # the [C, T] rows really are the char encodings of " A".." D"
+        for i, letter in enumerate(OPTION_LETTERS[:4]):
+            assert seqs[i].tolist() == [ord(" "), ord(letter)]
 
-            def encode(self, text, add_special_tokens=False):
-                return [ord(c) for c in text]  # char-level: ' A' -> 2 tokens
+    def test_tokenize_dataset_carries_option_seqs(self):
+        t = HFTokenizer(_CharLevelFake())
+        ds = BlindDataset("t", [
+            Sample(id=f"s{i}", question="Which one?", options=["aa", "bb"],
+                   answer=OPTION_LETTERS[i % 2], category="c")
+            for i in range(4)
+        ])
+        tb = tokenize_dataset(ds, t)
+        assert tb.option_token_seqs is not None
+        assert tb.option_token_seqs.shape == (2, 2)
 
-            def __len__(self):
-                return 300
+    def test_single_token_tokenizer_has_no_option_seqs(self, hf_tok):
+        t = HFTokenizer(hf_tok)
+        ds = BlindDataset("t", [
+            Sample(id="s0", question="Which?", options=["aa", "bb"],
+                   answer="A", category="c")
+        ])
+        tb = tokenize_dataset(ds, t)
+        assert tb.option_token_seqs is None
 
-        with pytest.raises(ValueError, match="one token"):
-            HFTokenizer(Fake())
+
+class _CharLevelFake:
+    """Char-level tokenizer: ' A' -> two tokens (violates the invariant)."""
+
+    pad_token_id, bos_token_id, eos_token_id = 0, 1, 2
+    chat_template = None
+
+    def encode(self, text, add_special_tokens=False):
+        return [ord(c) for c in text]
+
+    def decode(self, ids):
+        return "".join(chr(i) for i in ids if i >= 32)
+
+    def __len__(self):
+        return 300
+
+
+class TestChatTemplate:
+    """data.prompt_style='chat' (VERDICT r2 missing #4)."""
+
+    @pytest.fixture()
+    def chat_tok(self, hf_tok):
+        hf_tok.chat_template = (
+            "{% for m in messages %}<|{{ m.role }}|>{{ m.content }}<|end|>"
+            "{% endfor %}{% if add_generation_prompt %}<|assistant|>{% endif %}"
+        )
+        yield hf_tok
+        hf_tok.chat_template = None
+
+    def test_chat_prompt_rendered_through_template(self, chat_tok):
+        t = HFTokenizer(chat_tok, chat=True)
+        p, tgt = t.encode_example("Q: which?\nAnswer:", " B")
+        text = chat_tok.decode(p)
+        assert "<|user|>" in text and text.endswith("<|assistant|>")
+        # chat mode: the target is the BARE letter (no leading space)
+        assert tgt[0] == t.option_token_ids(4)[1]
+        assert tgt[-1] == t.eos_id
+
+    def test_chat_option_ids_are_bare_letters(self, chat_tok):
+        t = HFTokenizer(chat_tok, chat=True)
+        ids = t.option_token_ids(4)
+        for letter, tid in zip(OPTION_LETTERS, ids):
+            assert chat_tok.decode([int(tid)]) == letter
+
+    def test_chat_requires_template(self, hf_tok):
+        assert getattr(hf_tok, "chat_template", None) is None
+        with pytest.raises(ValueError, match="chat template"):
+            HFTokenizer(hf_tok, chat=True)
+
+    def test_chat_tokenize_dataset_end_to_end(self, chat_tok):
+        t = HFTokenizer(chat_tok, chat=True)
+        ds = BlindDataset("t", [
+            Sample(id=f"s{i}", question="Which one?", options=["aa", "bb", "cc"],
+                   answer=OPTION_LETTERS[i % 3], category="c")
+            for i in range(6)
+        ])
+        tb = tokenize_dataset(ds, t)
+        for i, s in enumerate(ds):
+            first_target = tb.tokens[i, tb.answer_pos[i] + 1]
+            assert first_target == tb.option_token_ids[s.answer_index]

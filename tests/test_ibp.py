@@ -129,6 +129,11 @@ class TestIBPSftFastPath:
 
         removed = BlindDataset.load_jsonl(f"{cfg.out_dir}/removed.jsonl")
         assert np.mean([s.meta["planted_bias"] for s in removed]) > 0.6
+        # parity-evidence fields (VERDICT r2 #7): RF-vs-SFT rank agreement
+        # rides along in the IBP report like in diagnose-sft's
+        assert "rf_sft_spearman" in rep
+        assert -1.0 <= rep["rf_sft_spearman"] <= 1.0
+        assert "rf_blind_accuracy" in rep
 
 
 class TestIBPScoreEpochs:

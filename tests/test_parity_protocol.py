@@ -81,6 +81,13 @@ def test_compare_protocol_end_to_end(tmp_path, capsys):
     assert report["n_ref_kept"] == sum(not r["planted_bias"] for r in rows)
     assert report["removed_f1"] >= 0.75, report
     assert report["sx_removed_pointbiserial"] >= 0.5, report
+    # compare writes its report as a machine-checkable artifact into the run
+    # dir, like every other stage (VERDICT r2 weak #7)
+    parity_path = run_dir / "parity.json"
+    assert parity_path.exists()
+    on_disk = json.loads(parity_path.read_text())
+    assert on_disk["removed_f1"] == report["removed_f1"]
+    assert on_disk["reference_kept"] == str(ref_kept)
 
 
 @pytest.mark.slow

@@ -50,3 +50,35 @@ def test_remat_modes_match_no_remat(remat):
 def test_unknown_remat_mode_rejected():
     with pytest.raises(ValueError, match="unknown remat mode"):
         _loss_and_grads("bogus")
+
+
+@pytest.mark.parametrize("remat", ["dots_flash", "attn"])
+def test_flash_residual_remat_modes_with_pallas(remat, monkeypatch):
+    """The dots_flash/attn policies exist to SAVE the Pallas kernel's
+    checkpoint_name residuals (flash_out/flash_lse inside the custom_vjp) —
+    exercise that path with the real kernel in interpret mode, not just the
+    XLA fallback (ADVICE r2)."""
+    from tst.kernels import flash_attention as fa
+
+    monkeypatch.setattr(fa, "_INTERPRET", True)
+    tokens = jax.random.randint(jax.random.key(0), (2, 128), 0, SPEC.vocab_size)
+    mask = jnp.zeros((2, 128), jnp.float32).at[:, 100:104].set(1.0)
+    pos = jnp.full((2,), 99, jnp.int32)
+    base = init_params(jax.random.key(1), SPEC)
+    lora = init_lora(jax.random.key(2), SPEC, LSPEC)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+
+    def run(remat_mode):
+        def loss_fn(lo):
+            return sft_loss_window(base, lo, tokens, mask, pos, 4, SPEC, LSPEC,
+                                   use_pallas=True, remat=remat_mode)
+
+        return jax.jit(jax.value_and_grad(loss_fn))(lora)
+
+    loss0, g0 = run(False)
+    loss1, g1 = run(remat)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

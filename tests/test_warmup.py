@@ -1,0 +1,42 @@
+"""`tst warmup` — AOT compilation of a config's programs (VERDICT r2 #6).
+
+The subcommand must build and compile the train step, held-out scorer and
+(when the dataset has numeric rows) the decode program through the same
+constructors the real run uses, and write a warmup_report.json with the
+per-program compile walls.
+"""
+
+import json
+import os
+
+from tst.cli import main
+
+
+def test_warmup_end_to_end(tmp_path, capsys):
+    out = str(tmp_path / "warm")
+    rc = main([
+        "warmup", "--platform", "cpu", "--bench", "synthetic:0.5:position",
+        "--k", "2", "--set", "data.n=32", "--set", "model.name=tiny",
+        "--set", "model.dtype=float32", "--set", "model.use_pallas=false",
+        "--set", "optim.batch_size=8", "--out", out,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["model"] == "tiny" and report["k"] == 2
+    assert report["train_step_compile_s"] >= 0
+    assert report["scorer_compile_s"] >= 0
+    assert os.path.exists(os.path.join(out, "warmup_report.json"))
+
+
+def test_warmup_covers_numeric_decode(tmp_path, capsys):
+    """A mixed MCQ+numeric dataset warms the decode program too."""
+    out = str(tmp_path / "warm2")
+    rc = main([
+        "warmup", "--platform", "cpu", "--bench", "synthetic-numeric",
+        "--k", "2", "--set", "data.n=32", "--set", "model.name=tiny",
+        "--set", "model.dtype=float32", "--set", "model.use_pallas=false",
+        "--set", "optim.batch_size=8", "--out", out,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert "decode_numeric_compile_s" in report, report

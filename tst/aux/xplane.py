@@ -37,11 +37,20 @@ def _xplane_pb2():
              "xplane.proto"],
             check=True, capture_output=True,
         )
-    if gen_dir not in sys.path:
-        sys.path.insert(0, gen_dir)
-    import xplane_pb2  # noqa: E402
+    # load under a unique module name via importlib — a bare
+    # `import xplane_pb2` would collide with TF/TSL profiler protos if one
+    # was imported first (module cache returns the foreign schema and
+    # parsing silently misreads traces)
+    import importlib.util
 
-    return xplane_pb2
+    cached = sys.modules.get("tst_xplane_pb2")
+    if cached is not None:
+        return cached
+    spec = importlib.util.spec_from_file_location("tst_xplane_pb2", pb2_path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["tst_xplane_pb2"] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def load_xspace(path: str):

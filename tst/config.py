@@ -25,6 +25,11 @@ class DataConfig:
     include_open: bool = True  # load open-answer questions (MMMU) — scored
     # by held-out greedy decode + normalized exact match
     n: int = 256  # synthetic size
+    #: "completion" renders the raw blind prompt (base checkpoints);
+    #: "chat" wraps it in the tokenizer's chat template (instruct
+    #: checkpoints — Qwen2.5-*-Instruct etc. see mis-formatted prompts and
+    #: silently depressed blind accuracy without this; VERDICT r2 missing #4)
+    prompt_style: str = "completion"
 
 
 @dataclasses.dataclass

@@ -130,7 +130,7 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
 
     from tst.io import outputs
 
-    report = {
+    report: Dict[str, Any] = {
         "benchmark": ds.name,
         "rounds_run": rounds_run,
         "stop_reason": stop_reason,
@@ -142,6 +142,25 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
         "per_round": audit,
         "wall_seconds": round(time.time() - t_start, 2),
     }
+    # the same parity-evidence fields diagnose-sft carries (VERDICT r2 #7):
+    # seed-stability of s(x), and RF-vs-SFT rank agreement on the last
+    # scored set (sklearn backend — host-side, no extra XLA programs)
+    if use_sft and sft is not None and sft.last_seed_spearman is not None:
+        report["sx_seed_spearman"] = round(float(sft.last_seed_spearman), 4)
+    scored = np.flatnonzero(np.isfinite(last_sx))
+    if use_sft and cfg.rf.cross_check and scored.size:
+        sub = ds.subset(scored)
+        if any(s.answer_type == "mcq" for s in sub):
+            from tst.diagnose.rf import run_rf_diagnostic
+            from tst.eval.parity import spearman
+
+            rf_d = run_rf_diagnostic(
+                sub, k=cfg.data.k, seed=cfg.data.seed,
+                n_estimators=cfg.rf.n_estimators, max_depth=cfg.rf.max_depth,
+                backend="sklearn", score_rule=cfg.rf.score_rule)
+            report["rf_sft_spearman"] = round(
+                float(spearman(rf_d.s_x, last_sx[scored])), 4)
+            report["rf_blind_accuracy"] = round(float(rf_d.blind_accuracy), 4)
     outputs.write_debiased_split(cfg.out_dir, ds, alive,
                                  audit={"rounds": audit, "config": cfg.to_json()})
     outputs.write_sx_table(cfg.out_dir, ds, last_sx,
@@ -155,6 +174,17 @@ def _scatter(values: np.ndarray, idx: np.ndarray, n: int) -> np.ndarray:
     out = np.full(n, np.nan, np.float32)
     out[idx] = values
     return out
+
+
+def _nanmean_rows(rows: List[np.ndarray]) -> np.ndarray:
+    """nanmean over seed restarts without the all-NaN-column RuntimeWarning
+    (every column is NaN for rows of the other answer types, or for ALL
+    columns once a round has pruned every numeric/open row)."""
+    stacked = np.stack(rows).astype(np.float32)
+    finite = np.isfinite(stacked)
+    count = finite.sum(axis=0)
+    total = np.where(finite, stacked, 0.0).sum(axis=0)
+    return np.where(count > 0, total / np.maximum(count, 1), np.nan)
 
 
 class _SftRoundRunner:
@@ -225,6 +255,9 @@ class _SftRoundRunner:
 
         self.pad_numeric = _pad_for(lambda s: s.answer_type == "numeric")
         self.pad_open = _pad_for(lambda s: s.answer_type == "open")
+        #: pairwise Spearman of per-seed final s(x) in the latest round
+        #: (None unless optim.n_seeds > 1) — parity evidence for the report
+        self.last_seed_spearman: Optional[float] = None
         self.trainer = FoldTrainer(
             self.spec, self.lspec, self.k, lr=cfg.optim.lr,
             total_steps=self.total_steps0,  # fixed across rounds: ONE program
@@ -261,6 +294,7 @@ class _SftRoundRunner:
         )
         n_seeds = max(int(cfg.optim.n_seeds), 1)
         seed_probs = []
+        seed_final = []  # one FINAL prob table per seed (seed-stability stat)
         seed_s_num = []
         seed_s_open = []
         gold_values = np.array(
@@ -282,6 +316,7 @@ class _SftRoundRunner:
                 self.params, lora_now, self.spec, self.lspec, self.tokens,
                 self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
                 fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
+                option_seqs=self.tb.option_token_seqs,
             )
 
         steps_per_epoch = max(batches.shape[0] // max(cfg.optim.epochs, 1), 1)
@@ -308,7 +343,9 @@ class _SftRoundRunner:
                 )
                 if (e + 1) in self.score_after:
                     seed_probs.append(mcq_score(lora))
-            seed_probs.append(mcq_score(lora))
+            final_p = mcq_score(lora)
+            seed_probs.append(final_p)
+            seed_final.append(final_p)
             if has_numeric:
                 from tst.train.infer import score_heldout_numeric
 
@@ -335,15 +372,31 @@ class _SftRoundRunner:
         nopt_sub = self.tb.n_options[sub_idx]
         s_sub = bias_scores(probs_sub, gold_sub, nopt_sub,
                             rule=cfg.rf.score_rule)
+        self.last_seed_spearman = None
+        if len(seed_final) > 1:
+            from tst.eval.parity import spearman as _spearman
+
+            per_seed = [
+                bias_scores(p[sub_idx], gold_sub, nopt_sub,
+                            rule=cfg.rf.score_rule)
+                for p in seed_final
+            ]
+            rhos = [
+                _spearman(per_seed[i], per_seed[j])
+                for i in range(len(per_seed))
+                for j in range(i + 1, len(per_seed))
+            ]
+            self.last_seed_spearman = float(np.nanmean(rhos))
         # numeric (NA) rows: held-out greedy decode -> per-sample MRA s(x)
         # averaged over the same seed restarts as the MCQ scores (these rows
-        # are prunable too). NB: decode grids shrink per round (retrace) —
-        # numeric sets are small.
+        # are prunable too). Decode program shapes are pinned by
+        # pad_numeric/pad_open above, so later rounds reuse the same
+        # compiled grids — no per-round retrace.
         if seed_s_num:
-            s_num = np.nanmean(seed_s_num, axis=0)
+            s_num = _nanmean_rows(seed_s_num)
             s_sub = np.where(np.isfinite(s_num[sub_idx]), s_num[sub_idx], s_sub)
         if seed_s_open:
-            s_open = np.nanmean(seed_s_open, axis=0)
+            s_open = _nanmean_rows(seed_s_open)
             s_sub = np.where(np.isfinite(s_open[sub_idx]), s_open[sub_idx], s_sub)
         pred = probs_sub.argmax(-1)
         blind_acc = float(metrics.accuracy(pred, gold_sub))

@@ -591,6 +591,16 @@ def flash_attention(
     if fold is None:
         fold = (block_q is None and s == k.shape[1] and s % 128 == 0
                 and groups * s <= FOLD_MAX_ROWS)
+    elif fold:
+        # explicit fold=True must still satisfy the schedule's invariants:
+        # pos_mod masking assumes self-attention (q rows and kv columns share
+        # the same sequence) and lane-aligned tiles
+        if s != k.shape[1] or s % 128:
+            raise ValueError(
+                f"fold=True requires self-attention with a 128-multiple "
+                f"sequence (q seq {s}, kv seq {k.shape[1]}) — the folded "
+                f"schedule's pos = row % S causal mask is wrong for "
+                f"cross-attention / kv-cache shapes")
     if fold:
         # folded-GQA schedule: [B, H, S, D] → [B, KVH, groups*S, D] (heads
         # are kv-major, so the reshape is layout-preserving). pos = row % S

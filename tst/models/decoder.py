@@ -360,10 +360,12 @@ def apply_model(
         layer_rng = scanned.get("lora_rng")
 
         def proj(name, y, w_key):
-            # bf16-out dot == f32-out dot + astype (MXU accumulates f32
-            # internally; output rounds once either way) but the remat-saved
-            # value is half the bytes — the dominant HBM write at 0.5B
-            # (profiled: the two f32 [B,S,d_ff] saves cost 24 ms/step)
+            # bf16-out dot == f32-out dot + astype ON TPU (the MXU always
+            # accumulates f32 internally; output rounds once either way) but
+            # the remat-saved value is half the bytes — the dominant HBM
+            # write at 0.5B (profiled: two f32 [B,S,d_ff] saves = 24 ms/step).
+            # NB TPU-only assumption: other XLA backends may legally
+            # accumulate a bf16-out dot in reduced precision.
             out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
                              preferred_element_type=spec.dtype)
             if la is not None and name in la:

@@ -132,6 +132,82 @@ def letter_probs(
     return probs
 
 
+def make_mcq_scorer_multitoken(
+    spec: ModelSpec,
+    lora_spec: Optional[LoraSpec] = None,
+    use_pallas: bool = False,
+    batch: int = 8,
+):
+    """Multi-token option scoring fallback (VERDICT r2 weak #6): for
+    tokenizers violating the " A"-is-one-token invariant, score each option
+    as the SUM of per-token log-probs of its full token sequence, teacher-
+    forced after the answer marker. Costs C forwards per sample (vs 1 on the
+    fast path) — correct for any tokenizer, used only when needed.
+
+    Returns jitted ``score(base, lora_k|None, tokens, answer_pos, opt_seqs
+    [C, T] (-1 padded), idx_kM)`` → summed option log-probs [k, M, C].
+    """
+    key = ("multitoken", spec, lora_spec, use_pallas, batch)
+    cached = _SCORER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def option_logprobs(base, lora, tokens_bS, pos_b, opt_seqs):
+        b, s = tokens_bS.shape
+        c, t = opt_seqs.shape
+        s_arange = jnp.arange(s)[None, :]  # [1, S]
+        j_idx = s_arange - (pos_b[:, None] + 1)  # [b, S]: option-token slot
+        in_window = (j_idx >= 0) & (j_idx < t)
+        j_safe = jnp.clip(j_idx, 0, t - 1)
+
+        def per_option(opt_c):  # opt_c: [T]
+            opt_at = jnp.take(opt_c, j_safe)  # [b, S]
+            toks = jnp.where(in_window & (opt_at >= 0), opt_at, tokens_bS)
+            h = apply_model(base, toks, spec, lora=lora, lora_spec=lora_spec,
+                            use_pallas=use_pallas, return_hidden=True)
+            # predictor positions: logits at pos+j predict option token j
+            gather_pos = pos_b[:, None] + jnp.arange(t)[None, :]  # [b, T]
+            gather_pos = jnp.clip(gather_pos, 0, s - 1)
+            h_at = jnp.take_along_axis(
+                h, gather_pos[:, :, None].astype(jnp.int32), axis=1)  # [b,T,D]
+            logits = jnp.einsum(
+                "btd,dv->btv", h_at,
+                lm_head_weight(base, spec).astype(h.dtype),
+                preferred_element_type=jnp.float32)  # [b, T, V]
+            logp = logits - jax.scipy.special.logsumexp(logits, -1,
+                                                        keepdims=True)
+            tok_safe = jnp.clip(opt_c, 0, None)
+            tok_lp = jnp.take_along_axis(
+                logp, jnp.broadcast_to(tok_safe[None, :, None], (b, t, 1)),
+                axis=2)[..., 0]  # [b, T]
+            return jnp.where(opt_c[None, :] >= 0, tok_lp, 0.0).sum(-1)  # [b]
+
+        return jax.lax.map(per_option, opt_seqs).T  # [b, C]
+
+    @jax.jit
+    def score(base, lora_k, all_tokens, all_pos, opt_seqs, idx_kM):
+        k, m = idx_kM.shape
+        pad = (-m) % batch
+        idx_pad = jnp.pad(idx_kM, ((0, 0), (0, pad)))
+        n_chunks = idx_pad.shape[1] // batch
+        chunks = idx_pad.reshape(k, n_chunks, batch)
+
+        def per_fold(lora, idx_chunks):
+            def body(_, idx_b):
+                return None, option_logprobs(
+                    base, lora, all_tokens[idx_b], all_pos[idx_b], opt_seqs)
+
+            _, out = jax.lax.scan(body, None, idx_chunks)
+            return out.reshape(n_chunks * batch, -1)[:m]  # [M, C]
+
+        if lora_k is None:
+            return jax.vmap(lambda ic: per_fold(None, ic))(chunks)
+        return jax.vmap(per_fold)(lora_k, chunks)
+
+    _SCORER_CACHE[key] = score
+    return score
+
+
 def score_heldout_mcq(
     base,
     lora_k,
@@ -146,13 +222,24 @@ def score_heldout_mcq(
     use_pallas: bool = False,
     batch: int = 32,
     pad_to: Optional[int] = None,
+    option_seqs: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """End-to-end: held-out per-option probabilities [N, C]. Rows whose fold
     id is outside [0, k) (e.g. IBP-pruned rows marked -1) are never scored
-    and keep prob 0."""
+    and keep prob 0.
+
+    ``option_seqs`` ([C, T], -1 padded) activates the multi-token fallback
+    scorer for tokenizers without the single-token option invariant."""
     idx, valid = heldout_index_grid(fold_id, k, pad_to=pad_to)
-    scorer = make_mcq_scorer(spec, lora_spec, use_pallas, batch)
-    ll = scorer(base, lora_k, tokens, answer_pos, jnp.asarray(option_ids), jnp.asarray(idx))
+    if option_seqs is not None and option_seqs.shape[-1] > 1:
+        scorer = make_mcq_scorer_multitoken(spec, lora_spec, use_pallas,
+                                            batch=min(batch, 8))
+        ll = scorer(base, lora_k, tokens, answer_pos,
+                    jnp.asarray(option_seqs), jnp.asarray(idx))
+    else:
+        scorer = make_mcq_scorer(spec, lora_spec, use_pallas, batch)
+        ll = scorer(base, lora_k, tokens, answer_pos,
+                    jnp.asarray(option_ids), jnp.asarray(idx))
     return letter_probs(np.asarray(ll), n_options, idx, valid, tokens.shape[0])
 
 

@@ -30,14 +30,21 @@ from tst.train.sft import FoldTrainer, make_fold_batches
 
 def build_tokenizer(cfg: RunConfig):
     t = cfg.model.tokenizer
+    style = cfg.data.prompt_style
+    if style not in ("completion", "chat"):
+        raise ValueError(f"unknown data.prompt_style {style!r}")
+    chat = style == "chat"
     if t == "byte":
+        if chat:
+            raise ValueError("data.prompt_style='chat' needs an HF tokenizer "
+                             "with a chat template (byte tokenizer has none)")
         return ByteTokenizer()
     if t == "hf":
         path = cfg.model.path
         if path is None:
             raise ValueError("model.tokenizer='hf' needs model.path (local checkpoint dir)")
-        return HFTokenizer(path)
-    return HFTokenizer(t)  # explicit tokenizer path
+        return HFTokenizer(path, chat=chat)
+    return HFTokenizer(t, chat=chat)  # explicit tokenizer path
 
 
 def lora_spec_from_cfg(cfg: RunConfig, dtype) -> LoraSpec:
@@ -126,6 +133,95 @@ def _device_data(tb: TokenBatch, mesh=None):
     return tokens, mask, pos
 
 
+def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
+    """AOT-compile every program a ``diagnose-sft`` run of this config would
+    execute — train step, held-out MCQ scorer, numeric/open decode — WITHOUT
+    running them (`tst warmup`; VERDICT r2 weak #3: cold compiles through
+    this environment's remote tunnel cost ~10 min of silence at the top of
+    the first timed run).
+
+    Programs are built through the exact same code path as the real run
+    (same trainer/scorer constructors, same shapes/shardings from the same
+    dataset+config), then ``.lower(...).compile()``d so the persistent
+    compilation cache (aux.ckpt.enable_compilation_cache) is populated; the
+    subsequent timed run hits the disk cache instead of compiling.
+    """
+    import jax
+
+    from tst.train.infer import (_make_decode_fn, heldout_index_grid,
+                                 make_mcq_scorer, make_mcq_scorer_multitoken)
+
+    t_start = time.time()
+    k = cfg.data.k
+    tokenizer = build_tokenizer(cfg)
+    tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
+                          include_context=cfg.data.include_context)
+    fold_id = kfold_assign(ds, k, cfg.data.seed)
+    mesh = None
+    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
+        mesh = mesh_mod.from_config(cfg.mesh)
+    spec, params = build_model(cfg, tokenizer, mesh)
+    lspec = lora_spec_from_cfg(cfg, spec.dtype)
+    batches = make_fold_batches(
+        fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
+        batch_multiple=cfg.mesh.data,
+    )
+    t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
+    trainer = FoldTrainer(
+        spec, lspec, k, lr=cfg.optim.lr, total_steps=batches.shape[0],
+        warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
+        use_pallas=on_tpu, remat=cfg.model.remat, mesh=mesh, t_max=t_max,
+        ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
+        fused_mlp=cfg.model.fused_mlp,
+    )
+    lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
+    tokens, loss_mask, answer_pos = _device_data(tb, mesh)
+
+    report: Dict[str, Any] = {"model": spec.name, "k": k,
+                              "seq_len": tb.seq_len, "n_samples": len(ds)}
+    t0 = time.time()
+    trainer._step_fn.lower(
+        params, lora, opt_state, tokens, loss_mask, answer_pos,
+        jnp.asarray(batches[0]),
+    ).compile()
+    report["train_step_compile_s"] = round(time.time() - t0, 2)
+
+    if bool((tb.gold >= 0).any()):
+        idx, _ = heldout_index_grid(fold_id, k)
+        t0 = time.time()
+        if tb.option_token_seqs is not None and tb.option_token_seqs.shape[-1] > 1:
+            scorer = make_mcq_scorer_multitoken(spec, lspec, on_tpu, batch=8)
+            scorer.lower(params, lora, tokens, answer_pos,
+                         jnp.asarray(tb.option_token_seqs),
+                         jnp.asarray(idx)).compile()
+        else:
+            scorer = make_mcq_scorer(spec, lspec, on_tpu, 32)
+            scorer.lower(params, lora, tokens, answer_pos,
+                         jnp.asarray(tb.option_token_ids),
+                         jnp.asarray(idx)).compile()
+        report["scorer_compile_s"] = round(time.time() - t0, 2)
+
+    for kind, max_new in (("numeric", 12), ("open", 16)):
+        rows = np.flatnonzero(
+            np.array([s.answer_type == kind for s in ds], bool))
+        if rows.size == 0:
+            continue
+        m = max(max((int((fold_id[rows] == f).sum()) for f in range(k)),
+                    default=1), 1)
+        t0 = time.time()
+        fn = _make_decode_fn(spec, lspec, max_new, on_tpu, with_lora=True)
+        fn.lower(params, lora, tokens, answer_pos + 1,
+                 jnp.zeros((k, m), jnp.int32)).compile()
+        report[f"decode_{kind}_compile_s"] = round(time.time() - t0, 2)
+
+    report["wall_seconds"] = round(time.time() - t_start, 2)
+    from tst.io import outputs
+
+    outputs.write_report(cfg.out_dir, report, name="warmup_report.json")
+    return report
+
+
 def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
                        return_state: bool = False) -> Dict[str, Any]:
     """The core diagnostic (BASELINE.json configs 2/3): k-fold blind LoRA SFT
@@ -175,6 +271,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         return score_heldout_mcq(
             params, lora_now, spec, lspec, tokens, answer_pos,
             tb.option_token_ids, tb.n_options, fold_id, k, use_pallas=on_tpu,
+            option_seqs=tb.option_token_seqs,
         )
 
     # s(x) aggregation over epochs AND independent seed restarts (paper:
@@ -421,11 +518,12 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
             params, one, spec, lspec, tokens, answer_pos,
             tb.option_token_ids, tb.n_options,
             fold_id=np.zeros(tb.n, np.int32), k=1, use_pallas=on_tpu,
+            option_seqs=tb.option_token_seqs,
         )
     else:
         probs = score_all_mcq(
             params, spec, tokens, answer_pos, tb.option_token_ids, tb.n_options,
-            use_pallas=on_tpu,
+            use_pallas=on_tpu, option_seqs=tb.option_token_seqs,
         )
     pred = probs.argmax(-1).astype(np.int32)
     blind_acc = float(metrics.accuracy(pred, tb.gold))

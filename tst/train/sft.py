@@ -286,6 +286,12 @@ class FoldTrainer:
                 # deterministic in (fold, optimizer step): fresh masks every
                 # step with no change to the jitted step's signature
                 count = _opt_count(opt_state)
+                if count is None:
+                    raise ValueError(
+                        "LoRA dropout needs an optimizer whose state carries "
+                        "a step `count` field (adamw/adam/sgd-with-schedule do; "
+                        "a bare optax.sgd does not) — the count seeds the "
+                        "per-step dropout masks")
                 lora_rng = jax.random.fold_in(
                     jax.random.fold_in(jax.random.key(0x10A0), fold_idx),
                     count)
