@@ -297,12 +297,14 @@ def main() -> None:
         try:
             from tst.models.decode import greedy_decode
 
-            DB, MAX_NEW = 32, 16
+            DB, MAX_NEW, SHORT_NEW = 32, 16, 4
             rows = np.arange(DB) % tokens.shape[0]
             dtoks = tokens[rows]
             dlen = jnp.minimum(pos[rows] + 1, SEQ - MAX_NEW)
+            # prefill through the flash kernel (it IS the model forward —
+            # round 2 ran it dense, paying ~12% extra on the dominant leg)
             fn = jax.jit(lambda prm, t, pl_: greedy_decode(
-                prm, t, pl_, MAX_NEW, spec, use_pallas=False))
+                prm, t, pl_, MAX_NEW, spec, use_pallas=True))
             np.asarray(fn(params, dtoks, dlen))  # compile
             t0 = time.perf_counter()
             for _ in range(3):
@@ -311,6 +313,20 @@ def main() -> None:
             dt = (time.perf_counter() - t0) / 3
             decode = {"tokens_per_s": round(DB * MAX_NEW / dt, 1),
                       "batch": DB, "max_new": MAX_NEW}
+            # steps-only rate (excludes the prefill forward, which is
+            # FLOP-bound at ~16 TFLOP/call and dominates the number above):
+            # difference method over 12 steps
+            fn_s = jax.jit(lambda prm, t, pl_: greedy_decode(
+                prm, t, pl_, SHORT_NEW, spec, use_pallas=True))
+            np.asarray(fn_s(params, dtoks, dlen))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                gen = fn_s(params, dtoks, dlen)
+            np.asarray(gen)
+            dt_s = (time.perf_counter() - t0) / 3
+            if dt > dt_s:
+                decode["step_tokens_per_s"] = round(
+                    DB * (MAX_NEW - SHORT_NEW) / (dt - dt_s), 1)
         except Exception as e:
             print(f"decode leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
@@ -361,6 +377,8 @@ def main() -> None:
     if decode is not None:
         out["decode_tokens_per_s"] = decode["tokens_per_s"]
         out["decode_batch"] = decode["batch"]
+        if "step_tokens_per_s" in decode:
+            out["decode_step_tokens_per_s"] = decode["step_tokens_per_s"]
     print(json.dumps(out))
 
 

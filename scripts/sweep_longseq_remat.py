@@ -27,7 +27,7 @@ def main():
           f"{'tok/s':>9} {'hbm_gb':>7}")
     for seq in seqs:
         w = make_workload(seq=seq, n=64, k=K, batch=B)
-        for remat in (True, "attn", "dots", "dots_flash"):
+        for remat in (True, "attn", "flash", "dots", "dots_flash"):
             try:
                 tr = FoldTrainer(w.spec, w.lspec, k=K, lr=1e-4,
                                  total_steps=STEPS + WARM, use_pallas=on_tpu,

@@ -146,6 +146,18 @@ class TestLoadBenchmark:
         assert len(ds) == 32
         assert sum(s.meta["planted_bias"] for s in ds) == 16
 
+    def test_synthetic_vsi_route(self):
+        """The north-star anchor workload: VSI-shaped ~3:1 MCQ+numeric mix
+        with planted bias on both answer types."""
+        ds = load_benchmark("synthetic-vsi:0.4", n=200, seed=1)
+        assert len(ds) == 200
+        types = [s.answer_type for s in ds]
+        assert types.count("numeric") == 50 and types.count("mcq") == 150
+        biased_num = [s for s in ds if s.answer_type == "numeric"
+                      and s.meta.get("planted_bias")]
+        assert len(biased_num) == 20
+        assert all(s.answer == "10" for s in biased_num)
+
     def test_adapter_with_inline_rows(self):
         rows = [{"question": "q?", "choices": ["a", "b"], "answer": "(A)",
                  "task": "Count", "type": "2D"}]

@@ -163,6 +163,41 @@ class TestFoldedGQA:
         ref = fa.mha_reference(q, k, v, causal=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
+    def test_prescale_off_matches_prescale_on(self, monkeypatch):
+        """PRESCALE_Q folds sm_scale into the [rows, d] operand tiles; both
+        paths must agree to float tolerance, fwd and grads."""
+        q, k, v = _make_qkv(b=1, s=256, h=6, kvh=2, d=32)
+
+        def run():
+            def loss(q, k, v):
+                return jnp.sum(fa.flash_attention(q, k, v, causal=True) ** 2)
+
+            o = fa.flash_attention(q, k, v, causal=True)
+            g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            return o, g
+
+        o1, g1 = run()
+        monkeypatch.setattr(fa, "PRESCALE_Q", False)
+        o0, g0 = run()
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), atol=2e-6)
+        for a, b, name in zip(g1, g0, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, err_msg=f"d{name}")
+
+    def test_bf16_softmax_chain_tolerance(self, monkeypatch):
+        """SOFTMAX_BF16 trades ~1e-2 relative probability error for VPU
+        speed — pin the measured tolerance so quality drift is caught."""
+        monkeypatch.setattr(fa, "SOFTMAX_BF16", True)
+        q, k, v = _make_qkv(b=2, s=256, h=4, kvh=2, d=32)
+        out = fa.flash_attention(q, k, v, causal=True)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        err = np.abs(np.asarray(out) - np.asarray(ref))
+        assert err.max() < 2e-2, err.max()
+        # and grads still flow (backward recomputes p in f32 from the lse)
+        g = jax.grad(lambda q: jnp.sum(
+            fa.flash_attention(q, k, v, causal=True) ** 2))(q)
+        assert np.isfinite(np.asarray(g)).all()
+
     def test_explicit_fold_rejects_cross_attention_shapes(self):
         """fold=True with kv seq != q seq would silently compute a wrong
         pos % S causal mask — must be rejected (ADVICE r2)."""

@@ -36,7 +36,7 @@ def _loss_and_grads(remat):
 
 
 @pytest.mark.parametrize("remat", [True, "dots", "dots_attn", "dots_flash",
-                                   "light", "attn"])
+                                   "light", "attn", "flash"])
 def test_remat_modes_match_no_remat(remat):
     loss0, g0 = _loss_and_grads(False)
     loss1, g1 = _loss_and_grads(remat)
@@ -52,7 +52,7 @@ def test_unknown_remat_mode_rejected():
         _loss_and_grads("bogus")
 
 
-@pytest.mark.parametrize("remat", ["dots_flash", "attn"])
+@pytest.mark.parametrize("remat", ["dots_flash", "attn", "flash"])
 def test_flash_residual_remat_modes_with_pallas(remat, monkeypatch):
     """The dots_flash/attn policies exist to SAVE the Pallas kernel's
     checkpoint_name residuals (flash_out/flash_lse inside the custom_vjp) —

@@ -29,10 +29,13 @@ def load_benchmark(name: str, source=None, split=None, **kw):
     if name.startswith("synthetic"):
         from tst.data.synthetic import (make_synthetic_mcq,
                                         make_synthetic_numeric,
-                                        make_synthetic_open)
+                                        make_synthetic_open,
+                                        make_synthetic_vsi)
 
         # "synthetic[:bias_fraction[:bias_kind]]" | "synthetic-open[:bias]"
         # | "synthetic-numeric" (VSI-style numeric answers, decode-scored)
+        # | "synthetic-vsi[:bias[:bias_kind]]" (VSI-shaped ~3:1 MCQ+numeric
+        #   mix — the north-star wall-clock anchor workload)
         parts = name.split(":")
         bias = float(parts[1]) if len(parts) > 1 else 0.0
         if parts[0] == "synthetic-open":
@@ -41,6 +44,11 @@ def load_benchmark(name: str, source=None, split=None, **kw):
         if parts[0] == "synthetic-numeric":
             return make_synthetic_numeric(n=kw.pop("n", 128),
                                           seed=kw.pop("seed", 0))
+        if parts[0] == "synthetic-vsi":
+            return make_synthetic_vsi(
+                n=kw.pop("n", 5000), bias_fraction=bias,
+                bias_kind=parts[2] if len(parts) > 2 else "longest_option",
+                seed=kw.pop("seed", 0))
         if len(parts) > 2:
             kw.setdefault("bias_kind", parts[2])
         return make_synthetic_mcq(n=kw.pop("n", 256), bias_fraction=bias, **kw)

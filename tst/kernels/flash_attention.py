@@ -40,6 +40,31 @@ DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 _INTERPRET = False  # flipped by tests on CPU
 
+#: Fold sm_scale into q OUTSIDE the kernel (XLA fuses the elementwise
+#: multiply into the preceding transpose for free) and pass sm_scale=1.0 in
+#: — the kernels then skip BOTH full-[rows, bk]-tile multiplies (s*scale in
+#: every kernel and ds*scale in the backwards; together ~3 of the ~12 VPU
+#: ops per logit element). Gradients need no special-casing: with
+#: z = (c·q)@kᵀ the kernel's dq is w.r.t. the scaled q, and XLA's chain
+#: rule through the outer multiply rescales it. (In-kernel operand scaling
+#: was tried first and crashed the Mosaic compile helper under the trainer's
+#: fold-vmap.) Read at TRACE time — clear tst.train.sft._STEP_CACHE when
+#: flipping mid-process, like FOLD_BLOCK_Q.
+PRESCALE_Q = True
+
+#: Run the one-shot softmax chain (mask/max/exp/sum) on bf16 logits —
+#: MEASURED SLOWER (127.3 vs 130.5 samples/s at the 0.5B step): Mosaic
+#: requires f32 matmul accumulators, so the chain pays a full-tile
+#: f32→bf16 cast that costs more than the half-width vector ops save.
+#: Kept as a flag for future toolchains that allow bf16 MXU output.
+SOFTMAX_BF16 = False
+
+
+def _maybe_scale_s(s, sm_scale):
+    """Skip the full-tile logits multiply when the scale is statically 1.0
+    (the PRESCALE_Q path passes pre-scaled q and sm_scale=1.0)."""
+    return s if sm_scale == 1.0 else s * sm_scale
+
 
 def _compiler_params(dims):
     try:
@@ -78,20 +103,23 @@ def _fwd_kernel_oneshot(q_ref, k_ref, v_ref, o_ref, lse_ref,
     q_idx = pl.program_id(2)
     q = q_ref[0, 0]  # [bq, d]
     k = k_ref[0, 0]  # [bk, d]
-    s = jax.lax.dot_general(
+    chain_dtype = jnp.bfloat16 if SOFTMAX_BF16 else jnp.float32
+    # Mosaic requires a 32-bit matmul accumulator; the bf16 chain casts the
+    # f32 logits once and runs mask/max/exp on half-width vectors
+    s = _maybe_scale_s(jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * sm_scale
+    ), sm_scale).astype(chain_dtype)
     if causal:
         rows = _row_positions(block_q, block_k, q_idx, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+        s = jnp.where(cols <= rows, s, jnp.asarray(DEFAULT_MASK_VALUE, chain_dtype))
     m = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
     v = v_ref[0, 0]
     o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = (o / l).astype(o_ref.dtype)
-    lse_row = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37))
+    lse_row = m[:, 0].astype(jnp.float32) + jnp.log(jnp.maximum(l[:, 0], 1e-37))
     lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], (8, block_q))
 
 
@@ -100,7 +128,10 @@ def _row_positions(block_q, block_k, q_idx, pos_mod):
     marker: q rows are [G*S] (group-major), so position = row % S."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
     if pos_mod is not None:
-        rows = jax.lax.rem(rows, jnp.int32(pos_mod))
+        if pos_mod & (pos_mod - 1) == 0:  # power of two (all default buckets)
+            rows = jnp.bitwise_and(rows, jnp.int32(pos_mod - 1))
+        else:
+            rows = jax.lax.rem(rows, jnp.int32(pos_mod))
     return rows
 
 
@@ -125,10 +156,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     def _body():
         q = q_ref[0, 0]  # [bq, d]
         k = k_ref[0, 0]  # [bk, d]
-        s = jax.lax.dot_general(
+        s = _maybe_scale_s(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
-        s = s * sm_scale
+        ), sm_scale)  # [bq, bk]
         if causal:
             rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
@@ -236,8 +266,9 @@ def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0, 0][:, None]
     di = di_ref[0, 0, 0][:, None]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+    s = _maybe_scale_s(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32),
+                       sm_scale)
     if causal:
         rows = _row_positions(block_q, block_k, q_idx, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -245,7 +276,9 @@ def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - di) * sm_scale
+    # prescaled path (sm_scale==1.0): dq is w.r.t. the scaled q; the
+    # caller's chain rule through the outer q*c multiply rescales it
+    ds = _maybe_scale_s(p * (dp - di), sm_scale)
     dq_ref[0, 0] = jax.lax.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
@@ -261,8 +294,9 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0, 0][:, None]
     di = di_ref[0, 0, 0][:, None]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+    s = _maybe_scale_s(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32),
+                       sm_scale)
     if causal:
         rows = _row_positions(block_q, block_k, 0, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -273,7 +307,9 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - di) * sm_scale
+    # prescaled path: z = q_s@kᵀ with q_s = c·q ⇒ dk = dsᵀ @ q_s exactly —
+    # no ds*scale multiply needed
+    ds = _maybe_scale_s(p * (dp - di), sm_scale)
     dk_ref[0, 0] = jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
@@ -300,8 +336,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0, 0][:, None]  # [bq, 1]
         di = di_ref[0, 0, 0][:, None]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
+        s = _maybe_scale_s(
+            jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32), sm_scale)
         if causal:
             rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
@@ -309,8 +346,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
         p = jnp.exp(s - lse)  # normalized probs [bq, bk]
         dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [bq, bk]
-        ds = p * (dp - di) * sm_scale
-        dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+        ds = _maybe_scale_s(p * (dp - di), sm_scale)
+        dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                                   preferred_element_type=jnp.float32)
 
     @pl.when(kv_idx == kv_blocks - 1)
     def _store():
@@ -340,8 +378,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0, 0][:, None]
         di = di_ref[0, 0, 0][:, None]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
+        s = _maybe_scale_s(
+            jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32), sm_scale)
         if causal:
             rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
@@ -354,7 +393,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         )
         dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - di) * sm_scale  # [bq, bk]
+        # prescaled path: z = q_s@kᵀ ⇒ dk = dsᵀ @ q_s — no ds*scale needed
+        ds = _maybe_scale_s(p * (dp - di), sm_scale)
         # dk += ds^T @ q
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -618,7 +658,8 @@ def flash_attention(
         bq_bwd = FOLD_BWD_BLOCK_Q or bq
         if (groups * s) % bq_bwd:
             bq_bwd = bq
-        o = _flash(qf, kt, vt, float(sm_scale), bool(causal),
+        qf, kernel_scale = _prescale(qf, sm_scale)
+        o = _flash(qf, kt, vt, kernel_scale, bool(causal),
                    int(bq), int(bk), int(s), int(bq_bwd))
         return o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     bq = block_q or _pick_block(s)
@@ -629,9 +670,20 @@ def flash_attention(
             f"q {s} % {bq}, kv {k.shape[1]} % {bk} — pad sequences to a "
             f"128-multiple (tst.data.tokenize does this)"
         )
-    o = _flash(qt, kt, vt, float(sm_scale), bool(causal), int(bq), int(bk),
+    qt, kernel_scale = _prescale(qt, sm_scale)
+    o = _flash(qt, kt, vt, kernel_scale, bool(causal), int(bq), int(bk),
                None, None)
     return o.transpose(0, 2, 1, 3)
+
+
+def _prescale(qt, sm_scale):
+    """(scaled q, kernel sm_scale): under PRESCALE_Q the multiply happens
+    here in XLA (fused into the preceding transpose; gradients rescale
+    through the chain rule) and every kernel skips its full-logits-tile
+    multiplies via the static sm_scale==1.0 guard."""
+    if PRESCALE_Q:
+        return qt * jnp.asarray(sm_scale, qt.dtype), 1.0
+    return qt, float(sm_scale)
 
 
 def mha_reference(q, k, v, causal: bool = True, sm_scale: Optional[float] = None):

@@ -40,8 +40,20 @@ from tst.models.decoder import (
 from tst.models.lora import LoraSpec, apply_lora_delta
 
 
-def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache):
-    """One greedy step. token_b [B] int32; pos_b [B] = cache write position.
+def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
+                 write_slot, prompt_len_b, prompt_slots, k_cache, v_cache):
+    """One greedy step with the contiguous-slot cache layout.
+
+    ``token_b`` [B] int32; ``rope_pos_b`` [B] = each row's semantic position
+    (prompt_len + step, drives RoPE); ``write_slot`` = traced SCALAR cache
+    slot ``prompt_slots + step`` — generated tokens are left-aligned at slots
+    shared by all rows, so the cache write is ONE dynamic_update_slice with a
+    scalar start index instead of a per-row one-hot select over the whole
+    cache (round 2's select streamed + rewrote both [B, S, KVH, dh] caches
+    per layer per step — ~0.5 GB/step of pure overhead at B=32; a per-row
+    DUS would instead lower to a batched scatter whose TPU compile is
+    pathological, >40 min). Attention masks validity per row: prompt slots
+    ``[0, prompt_len)`` plus generated slots ``[prompt_slots, write_slot]``.
 
     Returns (next_token [B], updated caches). Caches: [L, B, S, KVH, dh].
     """
@@ -50,8 +62,8 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
     x = embed_lookup(params, token_b, spec)[:, None, :]  # [B,1,D]
     cos_full, sin_full = rope_tables(s_max, spec.d_head, spec.rope_theta,
                                      spec.rope_scaling)
-    cos_t = cos_full[pos_b][:, None]  # [B,1,half]
-    sin_t = sin_full[pos_b][:, None]
+    cos_t = cos_full[rope_pos_b][:, None]  # [B,1,half]
+    sin_t = sin_full[rope_pos_b][:, None]
 
     def rope_one(t):  # t: [B,1,H,dh] at per-row positions
         half = t.shape[-1] // 2
@@ -59,6 +71,10 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
         c = cos_t[:, :, None, :].astype(t.dtype)
         s = sin_t[:, :, None, :].astype(t.dtype)
         return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], axis=-1)
+
+    ar = jnp.arange(s_max, dtype=jnp.int32)[None, :]
+    valid = (ar < prompt_len_b[:, None]) | (
+        (ar >= prompt_slots) & (ar <= write_slot))  # [B, S]
 
     def layer_body(carry, scanned):
         h_in = carry
@@ -80,23 +96,16 @@ def _decode_step(params, lora, lora_spec, spec, token_b, pos_b, k_cache, v_cache
         q = rope_one(proj("q", h, "wq").reshape(b, 1, spec.n_heads, spec.d_head))
         k_new = rope_one(proj("k", h, "wk").reshape(b, 1, spec.n_kv_heads, spec.d_head))
         v_new = proj("v", h, "wv").reshape(b, 1, spec.n_kv_heads, spec.d_head)
-        # write the new K/V row at each row's position. A mask-select write,
-        # NOT a vmapped dynamic_update_slice: per-row-position DUS lowers to
-        # a batched scatter whose TPU AOT compile is pathological (>40 min
-        # for a 24-layer, 16-step decode program in this environment); the
-        # one-hot select compiles in seconds and the decode step streams the
-        # whole cache for attention anyway, so the extra write bandwidth is
-        # already paid.
-        at_pos = (jnp.arange(s_max, dtype=jnp.int32)[None, :]
-                  == pos_b[:, None])[:, :, None, None]  # [B, S, 1, 1]
-        kc = jnp.where(at_pos, k_new.astype(kc.dtype), kc)
-        vc = jnp.where(at_pos, v_new.astype(vc.dtype), vc)
-        # attend q (1 token) over the cache, masked to positions <= pos
+        # ONE scalar-indexed DUS writes all rows' new K/V (slot shared)
+        kc = jax.lax.dynamic_update_slice_in_dim(
+            kc, k_new.astype(kc.dtype), write_slot, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(
+            vc, v_new.astype(vc.dtype), write_slot, axis=1)
+        # attend q (1 token) over the cache, masked to each row's valid slots
         groups = spec.n_heads // spec.n_kv_heads
         qg = q.reshape(b, spec.n_kv_heads, groups, spec.d_head)
         scores = jnp.einsum("bkgd,bskd->bkgs", qg, kc,
                             preferred_element_type=jnp.float32) / np.sqrt(spec.d_head)
-        valid = jnp.arange(s_max)[None, :] <= pos_b[:, None]  # [B, S]
         scores = jnp.where(valid[:, None, None, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(spec.dtype)
         attn = jnp.einsum("bkgs,bskd->bkgd", probs, vc,
@@ -133,11 +142,15 @@ def greedy_decode(
 ) -> jnp.ndarray:
     """Greedy continuation of each prompt → int32 [B, max_new].
 
-    Cache size = S + max_new (padded to a 128 multiple so the decode
-    attention tiles cleanly).
+    Cache layout: prompt slots ``[0, S)`` (right-padded prompts as
+    prefilled), then generated tokens left-aligned at the SHARED slots
+    ``[S, S + step)`` — so each step's cache write is one scalar-indexed
+    dynamic_update_slice (see :func:`_decode_step`). The generated region is
+    padded to a 128 multiple so decode attention tiles cleanly.
     """
     b, s = tokens.shape
-    s_max = pad_to or (s + max_new + (-(s + max_new)) % 128)
+    gen_pad = max_new + (-max_new) % 128
+    s_max = pad_to or (s + gen_pad)
     h, k_all, v_all = apply_model(params, tokens, spec, lora=lora,
                                   lora_spec=lora_spec, use_pallas=use_pallas,
                                   return_kv=True)
@@ -152,13 +165,16 @@ def greedy_decode(
         axis=-1,
     ).astype(jnp.int32)
 
-    def step(carry, _):
-        token, pos, kc, vc = carry
-        nxt, kc, vc = _decode_step(params, lora, lora_spec, spec, token, pos, kc, vc)
-        return (nxt, pos + 1, kc, vc), token
+    def step(carry, t):
+        token, kc, vc = carry
+        nxt, kc, vc = _decode_step(
+            params, lora, lora_spec, spec, token,
+            rope_pos_b=prompt_len + t, write_slot=jnp.int32(s) + t,
+            prompt_len_b=prompt_len, prompt_slots=s, k_cache=kc, v_cache=vc)
+        return (nxt, kc, vc), token
 
-    (_, _, _, _), out = jax.lax.scan(
-        step, (first, prompt_len, k_cache, v_cache), None, length=max_new
+    (_, _, _), out = jax.lax.scan(
+        step, (first, k_cache, v_cache), jnp.arange(max_new, dtype=jnp.int32)
     )
     return out.T  # [B, max_new]
 

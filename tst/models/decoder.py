@@ -291,8 +291,19 @@ def _remat_policy(remat):
         return cp.save_only_these_names(
             "q_rope", "k_rope", "v_proj", "attn_out",
             "flash_out", "flash_lse")
+    if remat == "flash":
+        # 32k mode: full remat EXCEPT the flash kernel's own residuals.
+        # At long sequence the quadratic attention kernel dominates layer
+        # FLOPs, so its forward re-run is the expensive part of full remat —
+        # but "attn"'s q/k/v + attn_out saves (~414 MB/layer at 32k) no
+        # longer fit HBM. Saving only (flash_out, flash_lse) (~146 MB/layer)
+        # skips the kernel re-run while projections/RoPE/MLP recompute like
+        # full remat. (attn_out is NOT saved: it is a cheap transpose of
+        # flash_out, and saving both would double the big buffer.)
+        return cp.save_only_these_names("flash_out", "flash_lse")
     raise ValueError(f"unknown remat mode {remat!r}; use True/'full', "
-                     "'dots', 'dots_attn', 'dots_flash', 'light', or 'attn'")
+                     "'dots', 'dots_attn', 'dots_flash', 'light', 'attn', "
+                     "or 'flash'")
 
 
 def _dense_attention(q, k, v, causal_mask):
