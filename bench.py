@@ -288,6 +288,39 @@ def main() -> None:
         except Exception as e:
             print(f"long-seq leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ── 32k leg (SURVEY §5 long-context: VideoMME transcripts reach tens of
+    # thousands of tokens; DEFAULT_BUCKETS tops at 32768). remat="flash":
+    # full remat EXCEPT the flash kernel's residuals — the only policy that
+    # both fits 32k and skips the quadratic kernel re-run ──
+    longseq32 = None
+    if on_tpu:
+        try:
+            tb32 = tokenize_dataset(ds, ByteTokenizer(), max_len=32768)
+            t32 = int(np.max(tb32.lengths - tb32.answer_pos - 1))
+            tr32 = FoldTrainer(spec, lspec, k=2, lr=1e-4, total_steps=8,
+                               use_pallas=True, remat="flash", t_max=t32)
+            lora32, opt32 = tr32.init_state(jax.random.key(1))
+            b32 = make_fold_batches(fold_id, 2, 1, epochs=10, seed=0)
+            tok32 = jnp.asarray(tb32.tokens)
+            msk32 = jnp.asarray(tb32.loss_mask)
+            pos32 = jnp.asarray(tb32.answer_pos)
+            for t in range(2):
+                lora32, opt32, loss32 = tr32._step_fn(
+                    params, lora32, opt32, tok32, msk32, pos32,
+                    jnp.asarray(b32[t]))
+            np.asarray(loss32)
+            t0 = time.perf_counter()
+            for t in range(2, 5):
+                lora32, opt32, loss32 = tr32._step_fn(
+                    params, lora32, opt32, tok32, msk32, pos32,
+                    jnp.asarray(b32[t]))
+            np.asarray(loss32)
+            dt32 = (time.perf_counter() - t0) / 3
+            longseq32 = {"tokens_per_s": round(2 * 1 * 32768 / dt32, 1)}
+            del lora32, opt32, tok32, msk32
+        except Exception as e:
+            print(f"32k leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # ── KV-cached greedy decode leg (numeric/open scoring; B15). NB: model
     # params flow through the jit boundary as ARGUMENTS — closing over them
     # embeds the model as module constants and compile time scales with
@@ -374,6 +407,8 @@ def main() -> None:
     if longseq is not None:
         out["longseq_tokens_per_s"] = longseq["tokens_per_s"]
         out["longseq_len"] = longseq["seq_len"]
+    if longseq32 is not None:
+        out["longseq_32k_tokens_per_s"] = longseq32["tokens_per_s"]
     if decode is not None:
         out["decode_tokens_per_s"] = decode["tokens_per_s"]
         out["decode_batch"] = decode["batch"]

@@ -59,6 +59,11 @@ PRESCALE_Q = True
 #: Kept as a flag for future toolchains that allow bf16 MXU output.
 SOFTMAX_BF16 = False
 
+#: Single-KV-tile backward: one fused dq/dk/dv kernel (shared s→p→dp
+#: recompute) instead of separate dQ and dKV kernels that each redo it.
+#: Read at TRACE time, like the other kernel knobs.
+FUSED_BWD = True
+
 
 def _maybe_scale_s(s, sm_scale):
     """Skip the full-tile logits multiply when the scale is statically 1.0
@@ -126,7 +131,16 @@ def _fwd_kernel_oneshot(q_ref, k_ref, v_ref, o_ref, lse_ref,
 def _row_positions(block_q, block_k, q_idx, pos_mod):
     """Per-row sequence positions of a q tile. ``pos_mod`` is the folded-GQA
     marker: q rows are [G*S] (group-major), so position = row % S."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_idx * block_q
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    if pos_mod is not None and block_q % pos_mod == 0:
+        # a whole number of groups per tile: (q_idx*bq + i) % S == i % S —
+        # the position pattern is IDENTICAL for every q tile, so the
+        # dynamic q_idx term drops and the mask chain is fully static
+        # (hoistable/constant-foldable by Mosaic). True for the default
+        # folded schedule (bq = groups*S).
+        pass
+    else:
+        rows = rows + q_idx * block_q
     if pos_mod is not None:
         if pos_mod & (pos_mod - 1) == 0:  # power of two (all default buckets)
             rows = jnp.bitwise_and(rows, jnp.int32(pos_mod - 1))
@@ -263,7 +277,7 @@ def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0, 0][:, None]
     di = di_ref[0, 0, 0][:, None]
     s = _maybe_scale_s(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -274,7 +288,9 @@ def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
     p = jnp.exp(s - lse)
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+    # bf16 operands + f32 accumulation: identical products to the
+    # upcast-f32 matmul (inputs are already bf16) at full MXU rate
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     # prescaled path (sm_scale==1.0): dq is w.r.t. the scaled q; the
     # caller's chain rule through the outer q*c multiply rescales it
@@ -291,7 +307,7 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0, 0][:, None]
     di = di_ref[0, 0, 0][:, None]
     s = _maybe_scale_s(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -305,7 +321,9 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     dv_ref[0, 0] = jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+    # bf16 operands + f32 accumulation: identical products to the
+    # upcast-f32 matmul (inputs are already bf16) at full MXU rate
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     # prescaled path: z = q_s@kᵀ with q_s = c·q ⇒ dk = dsᵀ @ q_s exactly —
     # no ds*scale multiply needed
@@ -313,6 +331,61 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     dk_ref[0, 0] = jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                      dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                      *, sm_scale, causal, block_q, block_k, q_blocks,
+                      pos_mod):
+    """Fused dQ+dK+dV for the single-KV-tile regime, row-tiled.
+
+    The separate dQ and dKV kernels each recompute the same s → p → dp
+    chain (one matmul + the masked-exp VPU pass + one matmul, twice); this
+    kernel computes it once and emits all three gradients. Grid
+    (b, h, q_blocks) with the row axis sequential: dK/dV accumulate in
+    scratch across row tiles, dQ writes per tile. Row tiles default to
+    ``pos_mod`` rows (= one GQA group), which keeps the causal mask fully
+    static (block_q % pos_mod == 0 ⇒ positions are tile-invariant) and the
+    f32 [rows, bk] working set ≈ 2 MB.
+    """
+    q_idx = pl.program_id(2)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0, 0][:, None]
+    di = di_ref[0, 0, 0][:, None]
+    s = _maybe_scale_s(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32),
+                       sm_scale)
+    if causal:
+        rows = _row_positions(block_q, block_k, q_idx, pos_mod)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = _maybe_scale_s(p * (dp - di), sm_scale)
+    dq_ref[0, 0] = jax.lax.dot(
+        ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_scr[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == q_blocks - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
@@ -333,7 +406,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0][:, None]  # [bq, 1]
         di = di_ref[0, 0, 0][:, None]
         s = _maybe_scale_s(
@@ -344,7 +417,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
             s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # normalized probs [bq, bk]
-        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [bq, bk]
         ds = _maybe_scale_s(p * (dp - di), sm_scale)
         dq_scr[...] += jax.lax.dot(ds.astype(k.dtype), k,
@@ -375,7 +448,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0][:, None]
         di = di_ref[0, 0, 0][:, None]
         s = _maybe_scale_s(
@@ -391,7 +464,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         # prescaled path: z = q_s@kᵀ ⇒ dk = dsᵀ @ q_s — no ds*scale needed
         ds = _maybe_scale_s(p * (dp - di), sm_scale)
@@ -416,6 +489,49 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
     kv_s = k.shape[2]
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
     di = jnp.broadcast_to(di[:, :, None, :], (b, h, 8, s))  # sublane-replicated
+
+    if kv_s == block_k and FUSED_BWD:
+        # whole-KV tiles (folded regime): ONE kernel computes dq/dk/dv,
+        # sharing the s→p→dp recompute the split kernels each redo. Row
+        # tiles of pos_mod rows (one GQA group) keep the mask static and
+        # the f32 working set ~2 MB; dk/dv accumulate across row tiles.
+        bq_f = bwd_block_q or pos_mod or block_q
+        if s % bq_f:
+            bq_f = block_q
+        dq, dk_h, dv_h = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale,
+                              causal=causal, block_q=bq_f, block_k=block_k,
+                              q_blocks=s // bq_f, pos_mod=pos_mod),
+            grid=(b, h, s // bq_f),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+                pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, 8, bq_f), lambda bi, hi, qi: (bi, hi, 0, qi)),
+                pl.BlockSpec((1, 1, 8, bq_f), lambda bi, hi, qi: (bi, hi, 0, qi)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, kv_s, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, kv_s, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            compiler_params=_compiler_params(
+                ("parallel", "parallel", "arbitrary")),
+            interpret=_INTERPRET,
+        )(q, k, v, do, lse, di)
+        dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
+        dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
+        return dq, dk, dv
 
     if kv_s == block_k:
         # whole-KV tiles (folded regime): scratch-free one-shot backward
