@@ -333,20 +333,20 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                      dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                      *, sm_scale, causal, block_q, block_k, q_blocks,
-                      pos_mod):
-    """Fused dQ+dK+dV for the single-KV-tile regime, row-tiled.
+def _bwd_fused_nolse_kernel(q_ref, k_ref, v_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                            *, sm_scale, causal, block_q, block_k, q_blocks,
+                            pos_mod):
+    """Self-contained fused dQ/dK/dV: needs ONLY (q, k, v, do).
 
-    The separate dQ and dKV kernels each recompute the same s → p → dp
-    chain (one matmul + the masked-exp VPU pass + one matmul, twice); this
-    kernel computes it once and emits all three gradients. Grid
-    (b, h, q_blocks) with the row axis sequential: dK/dV accumulate in
-    scratch across row tiles, dQ writes per tile. Row tiles default to
-    ``pos_mod`` rows (= one GQA group), which keeps the causal mask fully
-    static (block_q % pos_mod == 0 ⇒ positions are tile-invariant) and the
-    f32 [rows, bk] working set ≈ 2 MB.
+    With the whole KV in one tile, each row tile sees its row's full
+    softmax domain, so the kernel derives its own stats instead of taking
+    the forward's saved lse: m/l from the recomputed logits, and
+    di = Σⱼ p·dp per row (the algebraic identity di = Σ o·do =
+    Σ p·(do·vᵀ) — no extra matmul). The custom_vjp then saves NO flash
+    residuals at all under any remat policy: the backward's fwd-kernel
+    re-run (228 µs/layer under "dots") and the separate di/lse traffic
+    disappear.
     """
     q_idx = pl.program_id(2)
 
@@ -359,8 +359,6 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
-    lse = lse_ref[0, 0, 0][:, None]
-    di = di_ref[0, 0, 0][:, None]
     s = _maybe_scale_s(jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                            preferred_element_type=jnp.float32),
                        sm_scale)
@@ -368,12 +366,16 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         rows = _row_positions(block_q, block_k, q_idx, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
-    p = jnp.exp(s - lse)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l_inv = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+    p = e * l_inv  # normalized probs, same reduction order as the forward
     dv_scr[...] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    di = jnp.sum(p * dp, axis=1, keepdims=True)  # = Σ o·do per row
     ds = _maybe_scale_s(p * (dp - di), sm_scale)
     dq_ref[0, 0] = jax.lax.dot(
         ds.astype(k.dtype), k, preferred_element_type=jnp.float32
@@ -480,6 +482,54 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
+def _flash_bwd_fused(q, k, v, do, sm_scale, causal, block_q, block_k,
+                     pos_mod=None, bwd_block_q=None):
+    """Self-contained fused backward for the single-KV-tile regime: ONE
+    kernel computes dq/dk/dv from (q, k, v, do) alone — no saved o/lse, no
+    di precompute, no forward re-run in the backward pass. Row tiles of
+    pos_mod rows (one GQA group) keep the mask static and the f32 working
+    set ~2 MB; dk/dv accumulate across row tiles."""
+    b, h, s, d = q.shape
+    kv_heads = k.shape[1]
+    groups = h // kv_heads
+    kv_s = k.shape[2]
+    bq_f = bwd_block_q or pos_mod or block_q
+    if s % bq_f:
+        bq_f = block_q
+    dq, dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_fused_nolse_kernel, sm_scale=sm_scale,
+                          causal=causal, block_q=bq_f, block_k=block_k,
+                          q_blocks=s // bq_f, pos_mod=pos_mod),
+        grid=(b, h, s // bq_f),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+            pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, kv_s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, kv_s, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=_compiler_params(
+            ("parallel", "parallel", "arbitrary")),
+        interpret=_INTERPRET,
+    )(q, k, v, do)
+    dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
+    dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv
+
+
 def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
                pos_mod=None, bwd_block_q=None):
     block_q = bwd_block_q or block_q
@@ -489,49 +539,6 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
     kv_s = k.shape[2]
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
     di = jnp.broadcast_to(di[:, :, None, :], (b, h, 8, s))  # sublane-replicated
-
-    if kv_s == block_k and FUSED_BWD:
-        # whole-KV tiles (folded regime): ONE kernel computes dq/dk/dv,
-        # sharing the s→p→dp recompute the split kernels each redo. Row
-        # tiles of pos_mod rows (one GQA group) keep the mask static and
-        # the f32 working set ~2 MB; dk/dv accumulate across row tiles.
-        bq_f = bwd_block_q or pos_mod or block_q
-        if s % bq_f:
-            bq_f = block_q
-        dq, dk_h, dv_h = pl.pallas_call(
-            functools.partial(_bwd_fused_kernel, sm_scale=sm_scale,
-                              causal=causal, block_q=bq_f, block_k=block_k,
-                              q_blocks=s // bq_f, pos_mod=pos_mod),
-            grid=(b, h, s // bq_f),
-            in_specs=[
-                pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-                pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, 8, bq_f), lambda bi, hi, qi: (bi, hi, 0, qi)),
-                pl.BlockSpec((1, 1, 8, bq_f), lambda bi, hi, qi: (bi, hi, 0, qi)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-                jax.ShapeDtypeStruct((b, h, kv_s, d), k.dtype),
-                jax.ShapeDtypeStruct((b, h, kv_s, d), v.dtype),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((block_k, d), jnp.float32),
-                pltpu.VMEM((block_k, d), jnp.float32),
-            ],
-            compiler_params=_compiler_params(
-                ("parallel", "parallel", "arbitrary")),
-            interpret=_INTERPRET,
-        )(q, k, v, do, lse, di)
-        dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
-        dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
-        return dq, dk, dv
 
     if kv_s == block_k:
         # whole-KV tiles (folded regime): scratch-free one-shot backward
@@ -665,6 +672,14 @@ def _flash(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
 
 def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
                    bwd_block_q=None):
+    if k.shape[2] == block_k and FUSED_BWD:
+        # single-KV-tile regime: the self-contained fused backward derives
+        # its own softmax stats from (q, k, v, do) — the forward saves NO
+        # kernel residuals, so under remat the backward neither re-runs the
+        # forward kernel nor streams saved (o, lse)
+        o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
+                          pos_mod)
+        return o, (q, k, v)
     o, lse = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
     # Name the residuals so remat policies can SAVE them: under plain
     # "dots"-style policies the pallas output is not a dot_general, so
@@ -682,6 +697,10 @@ def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
 
 def _flash_vjp_bwd(sm_scale, causal, block_q, block_k, pos_mod, bwd_block_q,
                    res, do):
+    if len(res) == 3:
+        q, k, v = res
+        return _flash_bwd_fused(q, k, v, do, sm_scale, causal, block_q,
+                                block_k, pos_mod, bwd_block_q)
     q, k, v, o, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q,
                             block_k, pos_mod, bwd_block_q)

@@ -327,6 +327,14 @@ def _flash_attention(q, k, v):
     return flash_attention(q, k, v, causal=True)
 
 
+#: layer-scan unroll factor (lax.scan unroll=). >1 gives XLA a window of
+#: consecutive layers to schedule across — in particular the remat-save
+#: dynamic-update-slice writes (the "dots" policy stacks ~130 MB/layer of
+#: saved activations; profiled at ~1 ms/layer of DUS fusions). Read at
+#: TRACE time — clear tst.train.sft._STEP_CACHE when flipping mid-process.
+SCAN_UNROLL = 1
+
+
 def apply_model(
     params: Params,
     tokens: jnp.ndarray,  # int32 [B, S]
@@ -457,7 +465,7 @@ def apply_model(
         scanned["lora"] = lora
         if lora_rng is not None and getattr(lora_spec, "dropout", 0.0) > 0.0:
             scanned["lora_rng"] = jax.random.split(lora_rng, spec.n_layers)
-    x, kv = jax.lax.scan(body, x, scanned)
+    x, kv = jax.lax.scan(body, x, scanned, unroll=SCAN_UNROLL)
 
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
     if return_kv:
