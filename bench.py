@@ -260,13 +260,13 @@ def main() -> None:
         try:
             tb16 = tokenize_dataset(ds, ByteTokenizer(), max_len=16384)
             t16 = int(np.max(tb16.lengths - tb16.answer_pos - 1))
-            # remat="attn": saves only the attention tensors + flash
-            # residuals (no backward kernel re-run; the MLP recomputes) —
-            # +17% over full remat at 16k (docs/RESULTS.md). The dots
-            # family exceeds schedulable HBM at this length, and at 32k
-            # even "attn" does (fall back to remat=True there).
+            # remat="flash": full remat except the flash kernel's residuals
+            # — round-3 sweep winner at BOTH 16k (16.2k tok/s vs attn's
+            # 16.0k at 8.2 vs 12.8 GB) and 32k (9.1k vs full remat's 7.5k);
+            # the dots family exceeds schedulable HBM at these lengths
+            # (docs/RESULTS.md remat table).
             trL = FoldTrainer(spec, lspec, k=2, lr=1e-4, total_steps=8,
-                              use_pallas=True, remat="attn", t_max=t16)
+                              use_pallas=True, remat="flash", t_max=t16)
             loraL, optL = trL.init_state(jax.random.key(1))
             bL = make_fold_batches(fold_id, 2, 1, epochs=10, seed=0)
             tokL = jnp.asarray(tb16.tokens)

@@ -283,12 +283,16 @@ def _decode_heldout_rows(
     base, lora_k, spec, lora_spec, tokens, answer_pos, rows: np.ndarray,
     fold_id: np.ndarray, k: int, max_new: int, use_pallas: bool,
     pad_to: Optional[int] = None,
+    chunk: int = 32,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy-decode the given rows with each row's held-out fold model.
 
-    Rows are padded to a common [k, M] grid; one vmapped decode program runs
-    all folds. ``pad_to`` pins M so shrinking subsets (IBP rounds) keep a
-    constant decode-program shape (one compile for the whole loop).
+    Rows are padded to a common [k, M] grid and decoded in fixed-shape
+    chunks of ``chunk`` rows per fold: the KV cache is the dominant
+    allocation (k·M rows × [L, S+pad, KVH, dh] × 2), and decoding a full
+    VSI-scale numeric split in one program OOMs — at n=5000/k=5 the cache
+    alone is ~10 GB at 8B. One [k, chunk] program compiles once and is
+    reused across chunks (and across IBP rounds when ``pad_to`` pins M).
     Returns (gen [k, M, max_new], idx [k, M], valid [k, M]).
     """
     rows_by_fold = [rows[fold_id[rows] == f] for f in range(k)]
@@ -304,8 +308,16 @@ def _decode_heldout_rows(
     prompt_len = answer_pos + 1  # decode continues right after the marker
     fn = _make_decode_fn(spec, lora_spec, max_new, use_pallas,
                          with_lora=lora_k is not None)
-    gen = fn(base, lora_k, tokens, prompt_len, jnp.asarray(idx))
-    return np.asarray(gen), idx, valid  # [k, M, max_new]
+    mc = min(m, max(int(chunk), 1))
+    pad = (-m) % mc
+    idx_p = np.pad(idx, ((0, 0), (0, pad)))
+    outs = []
+    for c0 in range(0, m + pad, mc):
+        gen_c = fn(base, lora_k, tokens, prompt_len,
+                   jnp.asarray(idx_p[:, c0: c0 + mc]))
+        outs.append(np.asarray(gen_c))
+    gen = np.concatenate(outs, axis=1)[:, :m]
+    return gen, idx, valid  # [k, M, max_new]
 
 
 def score_heldout_numeric(
@@ -409,6 +421,7 @@ def score_all_mcq(
     n_options: np.ndarray,
     use_pallas: bool = False,
     batch: int = 32,
+    option_seqs: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Zero-shot scoring of every sample with the base model (the blind
     baseline leg of the vision-blind gap, SURVEY.md §3.4)."""
@@ -417,4 +430,5 @@ def score_all_mcq(
     return score_heldout_mcq(
         base, None, spec, None, tokens, answer_pos, option_ids, n_options,
         fold_id, k=1, use_pallas=use_pallas, batch=batch,
+        option_seqs=option_seqs,
     )
