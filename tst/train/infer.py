@@ -283,7 +283,7 @@ def _decode_heldout_rows(
     base, lora_k, spec, lora_spec, tokens, answer_pos, rows: np.ndarray,
     fold_id: np.ndarray, k: int, max_new: int, use_pallas: bool,
     pad_to: Optional[int] = None,
-    chunk: int = 32,
+    chunk: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy-decode the given rows with each row's held-out fold model.
 
@@ -293,6 +293,8 @@ def _decode_heldout_rows(
     VSI-scale numeric split in one program OOMs — at n=5000/k=5 the cache
     alone is ~10 GB at 8B. One [k, chunk] program compiles once and is
     reused across chunks (and across IBP rounds when ``pad_to`` pins M).
+    The default chunk bounds the total cache at ~2.5 GB from the model
+    geometry (32 rows/fold at 0.5B, 5 at 8B).
     Returns (gen [k, M, max_new], idx [k, M], valid [k, M]).
     """
     rows_by_fold = [rows[fold_id[rows] == f] for f in range(k)]
@@ -308,6 +310,11 @@ def _decode_heldout_rows(
     prompt_len = answer_pos + 1  # decode continues right after the marker
     fn = _make_decode_fn(spec, lora_spec, max_new, use_pallas,
                          with_lora=lora_k is not None)
+    if chunk is None:
+        s_max = tokens.shape[1] + max_new + (-max_new) % 128
+        row_bytes = (spec.n_layers * s_max * spec.n_kv_heads * spec.d_head
+                     * 2 * 2)  # bf16 K + V
+        chunk = max(1, min(32, int(2.5e9 / max(k * row_bytes, 1))))
     mc = min(m, max(int(chunk), 1))
     pad = (-m) % mc
     idx_p = np.pad(idx, ((0, 0), (0, pad)))
