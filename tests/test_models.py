@@ -58,6 +58,44 @@ class TestDecoderBasics:
         l2 = apply_model(params, tokens, spec, remat=True)
         np.testing.assert_allclose(l1, l2, atol=1e-5)
 
+    def test_unroll_layer_loop_matches_scan(self):
+        """LAYER_LOOP='unroll' (Python loop over layers) must be numerically
+        identical to the default lax.scan path, for logits, KV stacks, and
+        gradients (the unroll exists purely to change XLA's remat-save
+        scheduling; see docs/ROADMAP.md item 2)."""
+        import tst.models.decoder as decoder
+
+        spec = _tiny_spec()
+        params = init_params(jax.random.key(0), spec)
+        tokens = jnp.array([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+
+        def loss(p):
+            return apply_model(p, tokens, spec, remat=True).sum()
+
+        h_scan, k_scan, v_scan = apply_model(params, tokens, spec,
+                                             return_kv=True)
+        g_scan = jax.grad(loss)(params)
+        assert decoder.LAYER_LOOP == "scan"
+        decoder.LAYER_LOOP = "unroll"
+        try:
+            h_un, k_un, v_un = apply_model(params, tokens, spec,
+                                           return_kv=True)
+            g_un = jax.grad(loss)(params)
+        finally:
+            decoder.LAYER_LOOP = "scan"
+        # atol covers XLA fusion-order noise: an unrolled loop and a scan
+        # body legally compile to different fusion schedules on CPU.
+        np.testing.assert_allclose(h_scan, h_un, atol=5e-6)
+        np.testing.assert_allclose(k_scan, k_un, atol=5e-6)
+        np.testing.assert_allclose(v_scan, v_un, atol=5e-6)
+        for ks, a, b in zip(
+            jax.tree_util.tree_leaves_with_path(g_scan),
+            jax.tree.leaves(g_scan),
+            jax.tree.leaves(g_un),
+        ):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5,
+                                       err_msg=str(ks[0]))
+
     def test_param_count_tiny(self):
         spec = _tiny_spec()
         params = init_params(jax.random.key(0), spec)

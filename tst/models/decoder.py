@@ -334,6 +334,15 @@ def _flash_attention(q, k, v):
 #: TRACE time — clear tst.train.sft._STEP_CACHE when flipping mid-process.
 SCAN_UNROLL = 1
 
+#: layer-loop strategy: "scan" (one lax.scan over stacked layer params — one
+#: compiled body, stacked remat saves written via dynamic-update-slice) or
+#: "unroll" (a Python loop over static layer indices — n_layers copies of the
+#: body in the HLO, but each layer's remat saves are INDIVIDUAL buffers XLA
+#: can fuse into their producing matmuls, removing the ~1 ms/layer DUS
+#: double-write the scan pays under remat; see docs/RESULTS.md round 3).
+#: Read at TRACE time — clear tst.train.sft._STEP_CACHE when flipping.
+LAYER_LOOP = "scan"
+
 
 def apply_model(
     params: Params,
@@ -465,7 +474,17 @@ def apply_model(
         scanned["lora"] = lora
         if lora_rng is not None and getattr(lora_spec, "dropout", 0.0) > 0.0:
             scanned["lora_rng"] = jax.random.split(lora_rng, spec.n_layers)
-    x, kv = jax.lax.scan(body, x, scanned, unroll=SCAN_UNROLL)
+    if LAYER_LOOP == "unroll":
+        ks, vs = [], []
+        for i in range(spec.n_layers):
+            sl = jax.tree.map(lambda a, _i=i: a[_i], scanned)
+            x, ys = body(x, sl)
+            if return_kv:
+                ks.append(ys[0])
+                vs.append(ys[1])
+        kv = (jnp.stack(ks), jnp.stack(vs)) if return_kv else (None, None)
+    else:
+        x, kv = jax.lax.scan(body, x, scanned, unroll=SCAN_UNROLL)
 
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
     if return_kv:
