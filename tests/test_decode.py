@@ -133,3 +133,42 @@ class TestDecodeCompileScaling:
         assert len(text) < 5_000_000, (
             f"lowered module is {len(text)/1e6:.1f} MB — model weights are "
             "being embedded as constants again")
+
+
+class TestHeldoutDecodeChunking:
+    def test_chunked_matches_one_shot(self):
+        """_decode_heldout_rows with a small chunk must reproduce the
+        one-shot decode exactly, including when the per-fold row count is
+        not a multiple of the chunk (the fixed-shape padding path added for
+        VSI-scale numeric splits — the KV cache OOMs in one program)."""
+        from tst.train.infer import _decode_heldout_rows
+
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        k = 2
+        lora_k = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[init_lora(jax.random.key(i), spec, lspec) for i in range(k)],
+        )
+        rng = np.random.default_rng(1)
+        n, s = 12, 48
+        tokens = np.full((n, s), 256, np.int32)
+        plen = rng.integers(8, 24, size=n).astype(np.int32)
+        for i, L in enumerate(plen):
+            tokens[i, :L] = rng.integers(0, 255, size=L)
+        tokens = jnp.asarray(tokens)
+        answer_pos = jnp.asarray(plen - 1)
+        fold_id = np.array([0, 1] * (n // 2), np.int32)
+        rows = np.arange(1, n, dtype=np.int32)  # uneven folds: 5 vs 6 rows
+
+        kw = dict(max_new=4, use_pallas=False)
+        gen1, idx1, val1 = _decode_heldout_rows(
+            params, lora_k, spec, lspec, tokens, answer_pos, rows,
+            fold_id, k, chunk=64, **kw)   # one shot
+        gen2, idx2, val2 = _decode_heldout_rows(
+            params, lora_k, spec, lspec, tokens, answer_pos, rows,
+            fold_id, k, chunk=4, **kw)    # 6 rows/fold -> 4+2 (padded)
+        np.testing.assert_array_equal(idx1, idx2)
+        np.testing.assert_array_equal(val1, val2)
+        np.testing.assert_array_equal(gen1[val1], gen2[val2])
