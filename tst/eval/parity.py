@@ -28,6 +28,10 @@ def spearman(a: np.ndarray, b: np.ndarray) -> float:
     ok = np.isfinite(a) & np.isfinite(b)
     if ok.sum() < 2:
         return float("nan")
+    # constant input ⇒ rank correlation undefined; scipy warns and returns
+    # NaN — return the NaN without the ConstantInputWarning noise
+    if np.all(a[ok] == a[ok][0]) or np.all(b[ok] == b[ok][0]):
+        return float("nan")
     from scipy.stats import spearmanr
 
     rho, _ = spearmanr(a[ok], b[ok])

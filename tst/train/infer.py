@@ -51,6 +51,39 @@ def heldout_index_grid(fold_id: np.ndarray, k: int,
 _SCORER_CACHE: Dict = {}
 
 
+def _make_chunked_fold_scorer(per_batch, batch: int):
+    """Shared fold-vmapped chunked-scan scaffold for the MCQ scorers.
+
+    ``per_batch(base, lora, tokens_bS, pos_b, opt)`` → per-row scores
+    [b, C]. The wrapper pads the [k, M] held-out grid to a multiple of
+    ``batch``, scans fixed-size chunks device-side (bounds memory without
+    retracing), vmaps the fold axis, and unpads — one scaffold so the
+    single-token and multi-token scorers cannot drift apart.
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def score(base, lora_k, all_tokens, all_pos, opt, idx_kM):
+        k, m = idx_kM.shape
+        pad = (-m) % batch
+        idx_pad = jnp.pad(idx_kM, ((0, 0), (0, pad)))
+        n_chunks = idx_pad.shape[1] // batch
+        chunks = idx_pad.reshape(k, n_chunks, batch)
+
+        def per_fold(lora, idx_chunks):
+            def body(_, idx_b):
+                return None, per_batch(base, lora, all_tokens[idx_b],
+                                       all_pos[idx_b], opt)
+
+            _, out = jax.lax.scan(body, None, idx_chunks)
+            return out.reshape(n_chunks * batch, -1)[:m]  # [M, C]
+
+        if lora_k is None:
+            return jax.vmap(lambda ic: per_fold(None, ic))(chunks)
+        return jax.vmap(per_fold)(lora_k, chunks)
+
+    return score
+
+
 def make_mcq_scorer(
     spec: ModelSpec,
     lora_spec: Optional[LoraSpec] = None,
@@ -80,27 +113,7 @@ def make_mcq_scorer(
         return jnp.einsum("bd,dc->bc", h_at, head_cols.astype(h.dtype),
                           preferred_element_type=jnp.float32)
 
-    @partial(jax.jit, static_argnames=())
-    def score(base, lora_k, all_tokens, all_pos, option_ids, idx_kM):
-        k, m = idx_kM.shape
-        pad = (-m) % batch
-        idx_pad = jnp.pad(idx_kM, ((0, 0), (0, pad)))
-        n_chunks = idx_pad.shape[1] // batch
-        chunks = idx_pad.reshape(k, n_chunks, batch)
-
-        def per_fold(lora, idx_chunks):
-            def body(_, idx_b):
-                toks = all_tokens[idx_b]
-                pos = all_pos[idx_b]
-                return None, forward_logits(base, lora, toks, pos, option_ids)
-
-            _, out = jax.lax.scan(body, None, idx_chunks)
-            return out.reshape(n_chunks * batch, -1)[:m]  # [M, C]
-
-        if lora_k is None:
-            return jax.vmap(lambda ic: per_fold(None, ic))(chunks)
-        return jax.vmap(per_fold)(lora_k, chunks)
-
+    score = _make_chunked_fold_scorer(forward_logits, batch)
     _SCORER_CACHE[key] = score
     return score
 
@@ -167,6 +180,14 @@ def make_mcq_scorer_multitoken(
                             use_pallas=use_pallas, return_hidden=True)
             # predictor positions: logits at pos+j predict option token j
             gather_pos = pos_b[:, None] + jnp.arange(t)[None, :]  # [b, T]
+            # an option whose real tokens extend past the padded sequence
+            # cannot be teacher-forced/scored (clipping would silently read
+            # position s-1's logits for the tail) — the gold target always
+            # fits by tokenize's construction (keep >= len(target)), so
+            # scoring a longer-than-fits distractor as -inf is safe and
+            # keeps it from winning on a truncated sum
+            fits = jnp.all((opt_c[None, :] < 0) | (gather_pos <= s - 1),
+                           axis=1)  # [b]
             gather_pos = jnp.clip(gather_pos, 0, s - 1)
             h_at = jnp.take_along_axis(
                 h, gather_pos[:, :, None].astype(jnp.int32), axis=1)  # [b,T,D]
@@ -180,30 +201,12 @@ def make_mcq_scorer_multitoken(
             tok_lp = jnp.take_along_axis(
                 logp, jnp.broadcast_to(tok_safe[None, :, None], (b, t, 1)),
                 axis=2)[..., 0]  # [b, T]
-            return jnp.where(opt_c[None, :] >= 0, tok_lp, 0.0).sum(-1)  # [b]
+            summed = jnp.where(opt_c[None, :] >= 0, tok_lp, 0.0).sum(-1)
+            return jnp.where(fits, summed, -1e30)  # [b]
 
         return jax.lax.map(per_option, opt_seqs).T  # [b, C]
 
-    @jax.jit
-    def score(base, lora_k, all_tokens, all_pos, opt_seqs, idx_kM):
-        k, m = idx_kM.shape
-        pad = (-m) % batch
-        idx_pad = jnp.pad(idx_kM, ((0, 0), (0, pad)))
-        n_chunks = idx_pad.shape[1] // batch
-        chunks = idx_pad.reshape(k, n_chunks, batch)
-
-        def per_fold(lora, idx_chunks):
-            def body(_, idx_b):
-                return None, option_logprobs(
-                    base, lora, all_tokens[idx_b], all_pos[idx_b], opt_seqs)
-
-            _, out = jax.lax.scan(body, None, idx_chunks)
-            return out.reshape(n_chunks * batch, -1)[:m]  # [M, C]
-
-        if lora_k is None:
-            return jax.vmap(lambda ic: per_fold(None, ic))(chunks)
-        return jax.vmap(per_fold)(lora_k, chunks)
-
+    score = _make_chunked_fold_scorer(option_logprobs, batch)
     _SCORER_CACHE[key] = score
     return score
 
@@ -245,6 +248,19 @@ def score_heldout_mcq(
 
 #: (spec, lora_spec, max_new, use_pallas, with_lora) → jitted decode program
 _DECODE_CACHE: Dict = {}
+
+
+def decode_chunk_rows(spec: ModelSpec, seq_len: int, max_new: int,
+                      k: int) -> int:
+    """Rows-per-fold chunk for held-out decode. The KV cache is the dominant
+    allocation (k·rows × [L, S+pad, KVH, dh] × 2); cap it at ~2.5 GB from
+    the model geometry (32 rows/fold at 0.5B, 5 at 8B). Shared by the real
+    run (:func:`_decode_heldout_rows`) and ``tst warmup`` so the warmup
+    compiles the SAME [k, chunk] decode program the run later executes."""
+    s_max = seq_len + max_new + (-max_new) % 128
+    row_bytes = (spec.n_layers * s_max * spec.n_kv_heads * spec.d_head
+                 * 2 * 2)  # bf16 K + V
+    return max(1, min(32, int(2.5e9 / max(k * row_bytes, 1))))
 
 
 def _make_decode_fn(spec, lora_spec, max_new: int, use_pallas: bool,
@@ -311,10 +327,7 @@ def _decode_heldout_rows(
     fn = _make_decode_fn(spec, lora_spec, max_new, use_pallas,
                          with_lora=lora_k is not None)
     if chunk is None:
-        s_max = tokens.shape[1] + max_new + (-max_new) % 128
-        row_bytes = (spec.n_layers * s_max * spec.n_kv_heads * spec.d_head
-                     * 2 * 2)  # bf16 K + V
-        chunk = max(1, min(32, int(2.5e9 / max(k * row_bytes, 1))))
+        chunk = decode_chunk_rows(spec, tokens.shape[1], max_new, k)
     mc = min(m, max(int(chunk), 1))
     pad = (-m) % mc
     idx_p = np.pad(idx, ((0, 0), (0, pad)))

@@ -133,6 +133,52 @@ def _device_data(tb: TokenBatch, mesh=None):
     return tokens, mask, pos
 
 
+class _SftRunState:
+    """Everything a diagnose-sft run constructs before its first jitted call.
+
+    Built by :func:`_build_sft_state` and shared by ``run_sft_diagnostic``
+    and ``run_warmup`` so the warmup compiles programs through the EXACT
+    same constructors/shapes as the timed run — a hand-kept duplicate of
+    this setup is how warmup silently drifts from the run it exists to
+    pre-compile."""
+
+    __slots__ = ("tokenizer", "tb", "fold_id", "mesh", "spec", "params",
+                 "lspec", "batches", "t_max", "trainer", "lora", "opt_state",
+                 "tokens", "loss_mask", "answer_pos", "on_tpu")
+
+
+def _build_sft_state(ds: BlindDataset, cfg: RunConfig) -> _SftRunState:
+    st = _SftRunState()
+    k = cfg.data.k
+    st.tokenizer = build_tokenizer(cfg)
+    st.tb = tokenize_dataset(ds, st.tokenizer, max_len=cfg.data.max_len,
+                             include_context=cfg.data.include_context)
+    st.fold_id = kfold_assign(ds, k, cfg.data.seed)
+    st.mesh = None
+    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
+        st.mesh = mesh_mod.from_config(cfg.mesh)
+    st.spec, st.params = build_model(cfg, st.tokenizer, st.mesh)
+    st.lspec = lora_spec_from_cfg(cfg, st.spec.dtype)
+    st.batches = make_fold_batches(
+        st.fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
+        batch_multiple=cfg.mesh.data,
+    )
+    # answer-window length: longest target (+1 margin), 2D-padded to even
+    st.t_max = int(np.max(st.tb.lengths - st.tb.answer_pos - 1))
+    st.on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
+    st.trainer = FoldTrainer(
+        st.spec, st.lspec, k, lr=cfg.optim.lr, total_steps=st.batches.shape[0],
+        warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
+        use_pallas=st.on_tpu, remat=cfg.model.remat, mesh=st.mesh,
+        t_max=st.t_max, ring=cfg.mesh.seq > 1, b1=cfg.optim.b1,
+        b2=cfg.optim.b2, fused_mlp=cfg.model.fused_mlp,
+    )
+    st.lora, st.opt_state = st.trainer.init_state(
+        jax.random.key(cfg.data.seed + 1))
+    st.tokens, st.loss_mask, st.answer_pos = _device_data(st.tb, st.mesh)
+    return st
+
+
 def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     """AOT-compile every program a ``diagnose-sft`` run of this config would
     execute — train step, held-out MCQ scorer, numeric/open decode — WITHOUT
@@ -146,58 +192,35 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     compilation cache (aux.ckpt.enable_compilation_cache) is populated; the
     subsequent timed run hits the disk cache instead of compiling.
     """
-    import jax
-
-    from tst.train.infer import (_make_decode_fn, heldout_index_grid,
-                                 make_mcq_scorer, make_mcq_scorer_multitoken)
+    from tst.train.infer import (_make_decode_fn, decode_chunk_rows,
+                                 heldout_index_grid, make_mcq_scorer,
+                                 make_mcq_scorer_multitoken)
 
     t_start = time.time()
     k = cfg.data.k
-    tokenizer = build_tokenizer(cfg)
-    tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
-                          include_context=cfg.data.include_context)
-    fold_id = kfold_assign(ds, k, cfg.data.seed)
-    mesh = None
-    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
-        mesh = mesh_mod.from_config(cfg.mesh)
-    spec, params = build_model(cfg, tokenizer, mesh)
-    lspec = lora_spec_from_cfg(cfg, spec.dtype)
-    batches = make_fold_batches(
-        fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
-        batch_multiple=cfg.mesh.data,
-    )
-    t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
-    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
-    trainer = FoldTrainer(
-        spec, lspec, k, lr=cfg.optim.lr, total_steps=batches.shape[0],
-        warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
-        use_pallas=on_tpu, remat=cfg.model.remat, mesh=mesh, t_max=t_max,
-        ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
-        fused_mlp=cfg.model.fused_mlp,
-    )
-    lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
-    tokens, loss_mask, answer_pos = _device_data(tb, mesh)
+    st = _build_sft_state(ds, cfg)
+    tb, spec, lspec, on_tpu = st.tb, st.spec, st.lspec, st.on_tpu
 
     report: Dict[str, Any] = {"model": spec.name, "k": k,
                               "seq_len": tb.seq_len, "n_samples": len(ds)}
     t0 = time.time()
-    trainer._step_fn.lower(
-        params, lora, opt_state, tokens, loss_mask, answer_pos,
-        jnp.asarray(batches[0]),
+    st.trainer._step_fn.lower(
+        st.params, st.lora, st.opt_state, st.tokens, st.loss_mask,
+        st.answer_pos, jnp.asarray(st.batches[0]),
     ).compile()
     report["train_step_compile_s"] = round(time.time() - t0, 2)
 
     if bool((tb.gold >= 0).any()):
-        idx, _ = heldout_index_grid(fold_id, k)
+        idx, _ = heldout_index_grid(st.fold_id, k)
         t0 = time.time()
         if tb.option_token_seqs is not None and tb.option_token_seqs.shape[-1] > 1:
             scorer = make_mcq_scorer_multitoken(spec, lspec, on_tpu, batch=8)
-            scorer.lower(params, lora, tokens, answer_pos,
+            scorer.lower(st.params, st.lora, st.tokens, st.answer_pos,
                          jnp.asarray(tb.option_token_seqs),
                          jnp.asarray(idx)).compile()
         else:
             scorer = make_mcq_scorer(spec, lspec, on_tpu, 32)
-            scorer.lower(params, lora, tokens, answer_pos,
+            scorer.lower(st.params, st.lora, st.tokens, st.answer_pos,
                          jnp.asarray(tb.option_token_ids),
                          jnp.asarray(idx)).compile()
         report["scorer_compile_s"] = round(time.time() - t0, 2)
@@ -207,12 +230,16 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
             np.array([s.answer_type == kind for s in ds], bool))
         if rows.size == 0:
             continue
-        m = max(max((int((fold_id[rows] == f).sum()) for f in range(k)),
+        m = max(max((int((st.fold_id[rows] == f).sum()) for f in range(k)),
                     default=1), 1)
+        # the real run decodes fixed-shape [k, min(m, chunk)] programs
+        # (tst.train.infer._decode_heldout_rows) — warm THAT grid, not the
+        # unchunked [k, m] one the run never executes
+        mc = min(m, decode_chunk_rows(spec, tb.seq_len, max_new, k))
         t0 = time.time()
         fn = _make_decode_fn(spec, lspec, max_new, on_tpu, with_lora=True)
-        fn.lower(params, lora, tokens, answer_pos + 1,
-                 jnp.zeros((k, m), jnp.int32)).compile()
+        fn.lower(st.params, st.lora, st.tokens, st.answer_pos + 1,
+                 jnp.zeros((k, mc), jnp.int32)).compile()
         report[f"decode_{kind}_compile_s"] = round(time.time() - t0, 2)
 
     report["wall_seconds"] = round(time.time() - t_start, 2)
@@ -228,40 +255,17 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     → held-out s(x) → report. Returns the report dict (artifacts on disk)."""
     t_start = time.time()
     k = cfg.data.k
-    tokenizer = build_tokenizer(cfg)
-    tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
-                          include_context=cfg.data.include_context)
-    fold_id = kfold_assign(ds, k, cfg.data.seed)
-
-    mesh = None
-    if cfg.mesh.fold * cfg.mesh.data * cfg.mesh.seq * cfg.mesh.tensor > 1:
-        mesh = mesh_mod.from_config(cfg.mesh)
-    spec, params = build_model(cfg, tokenizer, mesh)
-    lspec = lora_spec_from_cfg(cfg, spec.dtype)
-
-    batches = make_fold_batches(
-        fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
-        batch_multiple=cfg.mesh.data,
-    )
-    # answer-window length: longest target (+1 margin), 2D-padded to even
-    t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
-    trainer = FoldTrainer(
-        spec, lspec, k, lr=cfg.optim.lr, total_steps=batches.shape[0],
-        warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
-        use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
-        remat=cfg.model.remat, mesh=mesh, t_max=t_max,
-        ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
-        fused_mlp=cfg.model.fused_mlp,
-    )
-    lora, opt_state = trainer.init_state(jax.random.key(cfg.data.seed + 1))
-    tokens, loss_mask, answer_pos = _device_data(tb, mesh)
+    st = _build_sft_state(ds, cfg)
+    tokenizer, tb, fold_id = st.tokenizer, st.tb, st.fold_id
+    spec, params, lspec = st.spec, st.params, st.lspec
+    batches, trainer, on_tpu = st.batches, st.trainer, st.on_tpu
+    lora, opt_state = st.lora, st.opt_state
+    tokens, loss_mask, answer_pos = st.tokens, st.loss_mask, st.answer_pos
 
     from tst.aux.log import JsonlLogger
 
     logger = JsonlLogger(cfg.out_dir)
     from tst.aux.profile import trace
-
-    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
 
     has_mcq = bool((tb.gold >= 0).any())
 
