@@ -61,6 +61,16 @@ class TestGreedyDecode:
                              lora=lora, lspec=lspec)
         np.testing.assert_array_equal(got, want)
 
+    def test_pad_to_too_small_rejected(self):
+        # the contiguous-slot layout writes generated K/V at [s, s+max_new);
+        # a smaller cache would silently clamp writes onto the last slot
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        tokens = jnp.full((1, 64), 256, jnp.int32)
+        with pytest.raises(ValueError, match="pad_to"):
+            greedy_decode(params, tokens, jnp.array([8], jnp.int32), 6, spec,
+                          pad_to=66)
+
     def test_jit_and_vmap_over_folds(self):
         spec = spec_by_name("tiny", dtype=jnp.float32)
         lspec = LoraSpec(rank=2, dtype=jnp.float32)

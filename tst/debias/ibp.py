@@ -86,6 +86,7 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     audit: List[Dict[str, Any]] = []
     last_sx = np.full(n, np.nan, np.float32)
     last_fold = np.full(n, -1, np.int32)
+    last_scored = np.zeros(0, np.int64)  # rows scored in the FINAL round
 
     use_sft = cfg.ibp.diagnostic == "sft"
     sft = _SftRoundRunner(ds, cfg) if use_sft else None
@@ -108,6 +109,7 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
             last_fold[sub_idx] = d.fold_id
             blind_acc, chance = d.blind_accuracy, d.chance
         last_sx[sub_idx] = s_sub
+        last_scored = sub_idx
         rounds_run = r + 1
         audit.append({
             "round": r,
@@ -147,7 +149,10 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     # scored set (sklearn backend — host-side, no extra XLA programs)
     if use_sft and sft is not None and sft.last_seed_spearman is not None:
         report["sx_seed_spearman"] = round(float(sft.last_seed_spearman), 4)
-    scored = np.flatnonzero(np.isfinite(last_sx))
+    # only the FINAL round's rows — earlier-pruned rows carry s(x) values
+    # from models trained on different survivor sets, which would dilute
+    # the rank agreement into a mixture the report does not document
+    scored = last_scored
     if use_sft and cfg.rf.cross_check and scored.size:
         sub = ds.subset(scored)
         if any(s.answer_type == "mcq" for s in sub):

@@ -151,6 +151,13 @@ def greedy_decode(
     b, s = tokens.shape
     gen_pad = max_new + (-max_new) % 128
     s_max = pad_to or (s + gen_pad)
+    if s_max < s + max_new:
+        # contiguous-slot layout writes generated K/V at [s, s + max_new);
+        # a smaller cache would clamp later writes onto the last slot and
+        # silently corrupt attention rather than fail
+        raise ValueError(
+            f"pad_to={pad_to} < prompt slots ({s}) + max_new ({max_new}); "
+            "the KV cache needs room for every generated token")
     h, k_all, v_all = apply_model(params, tokens, spec, lora=lora,
                                   lora_spec=lora_spec, use_pallas=use_pallas,
                                   return_kv=True)
