@@ -55,6 +55,14 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
     pathological, >40 min). Attention masks validity per row: prompt slots
     ``[0, prompt_len)`` plus generated slots ``[prompt_slots, write_slot]``.
 
+    The FULL [L, B, S, KVH, dh] caches ride the layer scan's CARRY and each
+    layer writes its one-token K/V via a scalar-indexed 5-D DUS at
+    ``(layer, 0, write_slot, 0, 0)`` — while-loop carries alias their
+    buffers, so the write is in place. The earlier shape (caches as scan
+    ``xs`` re-stacked as ``ys``) forced XLA to materialize a fresh cache
+    pair every step: profiled at ~1.5 ms/step of pure DUS/slice/copy traffic
+    at B=32×0.5B — ~40% of the step wall.
+
     Returns (next_token [B], updated caches). Caches: [L, B, S, KVH, dh].
     """
     b = token_b.shape[0]
@@ -77,10 +85,10 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
         (ar >= prompt_slots) & (ar <= write_slot))  # [B, S]
 
     def layer_body(carry, scanned):
-        h_in = carry
+        h_in, kc_all, vc_all = carry  # caches [L, B, S, KVH, dh]
         lw = scanned["w"]
         la = scanned.get("lora")
-        kc, vc = scanned["kc"], scanned["vc"]  # [B, S, KVH, dh]
+        li = scanned["i"]  # traced scalar layer index
 
         def proj(name, y, w_key):
             out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
@@ -96,11 +104,17 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
         q = rope_one(proj("q", h, "wq").reshape(b, 1, spec.n_heads, spec.d_head))
         k_new = rope_one(proj("k", h, "wk").reshape(b, 1, spec.n_kv_heads, spec.d_head))
         v_new = proj("v", h, "wv").reshape(b, 1, spec.n_kv_heads, spec.d_head)
-        # ONE scalar-indexed DUS writes all rows' new K/V (slot shared)
-        kc = jax.lax.dynamic_update_slice_in_dim(
-            kc, k_new.astype(kc.dtype), write_slot, axis=1)
-        vc = jax.lax.dynamic_update_slice_in_dim(
-            vc, v_new.astype(vc.dtype), write_slot, axis=1)
+        # ONE scalar-indexed DUS writes all rows' new K/V (slot shared);
+        # indexing the carried full cache keeps the write in place
+        zero = jnp.int32(0)
+        kc_all = jax.lax.dynamic_update_slice(
+            kc_all, k_new[None].astype(kc_all.dtype),
+            (li, zero, write_slot, zero, zero))
+        vc_all = jax.lax.dynamic_update_slice(
+            vc_all, v_new[None].astype(vc_all.dtype),
+            (li, zero, write_slot, zero, zero))
+        kc = jax.lax.dynamic_index_in_dim(kc_all, li, axis=0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(vc_all, li, axis=0, keepdims=False)
         # attend q (1 token) over the cache, masked to each row's valid slots
         groups = spec.n_heads // spec.n_kv_heads
         qg = q.reshape(b, spec.n_kv_heads, groups, spec.d_head)
@@ -117,12 +131,15 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
         up = proj("up", h, "w_up")
         act = jax.nn.silu(gate.astype(jnp.float32)).astype(spec.dtype) * up
         out = h_mid + proj("down", act, "w_down")
-        return out, (kc, vc)
+        return (out, kc_all, vc_all), None
 
-    scanned = {"w": params["layers"], "kc": k_cache, "vc": v_cache}
+    n_layers = k_cache.shape[0]
+    scanned = {"w": params["layers"],
+               "i": jnp.arange(n_layers, dtype=jnp.int32)}
     if lora is not None:
         scanned["lora"] = lora
-    x, (k_cache, v_cache) = jax.lax.scan(layer_body, x, scanned)
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        layer_body, (x, k_cache, v_cache), scanned)
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
     logits = jnp.einsum("bsd,dv->bsv", x, lm_head_weight(params, spec).astype(spec.dtype),
                         preferred_element_type=jnp.float32)[:, 0]  # [B, V]
