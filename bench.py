@@ -328,16 +328,18 @@ def main() -> None:
     decode = None
     if on_tpu:
         try:
-            from tst.models.decode import greedy_decode
+            from tst.models.decode import greedy_decode, layer_loop_for
 
             DB, MAX_NEW, SHORT_NEW = 32, 16, 4
+            loop = layer_loop_for(spec)  # unroll at 0.5B: 3.42->2.83 ms/step
             rows = np.arange(DB) % tokens.shape[0]
             dtoks = tokens[rows]
             dlen = jnp.minimum(pos[rows] + 1, SEQ - MAX_NEW)
             # prefill through the flash kernel (it IS the model forward —
             # round 2 ran it dense, paying ~12% extra on the dominant leg)
             fn = jax.jit(lambda prm, t, pl_: greedy_decode(
-                prm, t, pl_, MAX_NEW, spec, use_pallas=True))
+                prm, t, pl_, MAX_NEW, spec, use_pallas=True,
+                layer_loop=loop))
             np.asarray(fn(params, dtoks, dlen))  # compile
             t0 = time.perf_counter()
             for _ in range(3):
@@ -350,7 +352,8 @@ def main() -> None:
             # FLOP-bound at ~16 TFLOP/call and dominates the number above):
             # difference method over 12 steps
             fn_s = jax.jit(lambda prm, t, pl_: greedy_decode(
-                prm, t, pl_, SHORT_NEW, spec, use_pallas=True))
+                prm, t, pl_, SHORT_NEW, spec, use_pallas=True,
+                layer_loop=loop))
             np.asarray(fn_s(params, dtoks, dlen))
             t0 = time.perf_counter()
             for _ in range(3):

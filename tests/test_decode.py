@@ -61,6 +61,37 @@ class TestGreedyDecode:
                              lora=lora, lspec=lspec)
         np.testing.assert_array_equal(got, want)
 
+    def test_unroll_layer_loop_matches_scan(self):
+        # LAYER_LOOP="unroll" is the fast decode path on small models
+        # (static per-layer cache offsets fuse; measured 3.42 -> 2.83
+        # ms/step at 0.5B) — it must stay bit-identical to the scan form,
+        # including LoRA
+        from tst.models import decode as D
+
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        lora = init_lora(jax.random.key(1), spec, lspec)
+        for p in lora:
+            lora[p]["b"] = jax.random.normal(
+                jax.random.key(2), lora[p]["b"].shape) * 0.1
+        tokens = np.full((2, 64), 256, np.int32)
+        tokens[0, :20] = np.arange(20) % 250
+        tokens[1, :11] = (np.arange(11) * 7) % 250
+        prompt_len = jnp.array([20, 11], jnp.int32)
+        assert D.LAYER_LOOP == "scan"  # module default
+        try:
+            want = np.asarray(greedy_decode(
+                params, jnp.asarray(tokens), prompt_len, 5, spec,
+                lora=lora, lora_spec=lspec))
+            D.LAYER_LOOP = "unroll"
+            got = np.asarray(greedy_decode(
+                params, jnp.asarray(tokens), prompt_len, 5, spec,
+                lora=lora, lora_spec=lspec))
+        finally:
+            D.LAYER_LOOP = "scan"
+        np.testing.assert_array_equal(got, want)
+
     def test_pad_to_too_small_rejected(self):
         # the contiguous-slot layout writes generated K/V at [s, s+max_new);
         # a smaller cache would silently clamp writes onto the last slot

@@ -114,7 +114,9 @@ def apply_lora_delta(layer_lora: Params, x: jnp.ndarray, spec: LoraSpec,
     # preferred_element_type = x.dtype: the MXU accumulates f32 internally
     # either way; emitting the working dtype directly makes the remat-saved
     # dot outputs half the bytes of an f32-out + astype pair (bit-identical
-    # after rounding — docs/RESULTS.md round-2 profile).
+    # after rounding — docs/RESULTS.md round-2 profile). TPU-only
+    # assumption: other XLA backends may legally accumulate a bf16-out dot
+    # in reduced precision.
     z = jnp.einsum("bsi,ri->bsr", x, a.astype(x.dtype),
                    preferred_element_type=x.dtype)
     d = jnp.einsum("bsr,or->bso", z, b.astype(x.dtype),

@@ -277,7 +277,9 @@ def _make_decode_fn(spec, lora_spec, max_new: int, use_pallas: bool,
     cached = _DECODE_CACHE.get(key)
     if cached is not None:
         return cached
-    from tst.models.decode import greedy_decode
+    from tst.models.decode import greedy_decode, layer_loop_for
+
+    loop = layer_loop_for(spec)
 
     @jax.jit
     def decode_all(base, lora_k, all_tokens, prompt_len, idx_kM):
@@ -285,6 +287,7 @@ def _make_decode_fn(spec, lora_spec, max_new: int, use_pallas: bool,
             return greedy_decode(
                 base, all_tokens[idx_f], prompt_len[idx_f], max_new, spec,
                 lora=lora, lora_spec=lora_spec, use_pallas=use_pallas,
+                layer_loop=loop,
             )
 
         if not with_lora:
