@@ -334,7 +334,9 @@ def main() -> None:
             loop = layer_loop_for(spec)  # unroll at 0.5B: 3.42->2.83 ms/step
             rows = np.arange(DB) % tokens.shape[0]
             dtoks = tokens[rows]
-            dlen = jnp.minimum(pos[rows] + 1, SEQ - MAX_NEW)
+            # contiguous-slot cache reserves [SEQ, SEQ+pad) for generated
+            # tokens — no need to clamp prompts away from the cache tail
+            dlen = pos[rows] + 1
             # prefill through the flash kernel (it IS the model forward —
             # round 2 ran it dense, paying ~12% extra on the dominant leg)
             fn = jax.jit(lambda prm, t, pl_: greedy_decode(

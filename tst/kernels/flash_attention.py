@@ -674,11 +674,19 @@ def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
                    bwd_block_q=None):
     if k.shape[2] == block_k and FUSED_BWD:
         # single-KV-tile regime: the self-contained fused backward derives
-        # its own softmax stats from (q, k, v, do) — the forward saves NO
-        # kernel residuals, so under remat the backward neither re-runs the
-        # forward kernel nor streams saved (o, lse)
+        # its own softmax stats from (q, k, v, do) — the custom_vjp saves NO
+        # kernel residuals, so the backward neither re-runs the forward
+        # kernel nor streams saved (o, lse). Still NAME the primal output:
+        # without it the 'flash'/'attn'/'dots_flash' policies have nothing
+        # to match in this regime and silently degrade to full remat — the
+        # OUTER recompute re-runs this kernel just to rebuild o for the ops
+        # downstream of attention. (No lse name: the fused bwd never reads
+        # it, and an unsaveable name would make policies stash dead bytes.)
         o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
                           pos_mod)
+        from jax.ad_checkpoint import checkpoint_name
+
+        o = checkpoint_name(o, "flash_out")
         return o, (q, k, v)
     o, lse = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
     # Name the residuals so remat policies can SAVE them: under plain

@@ -258,8 +258,9 @@ def decode_chunk_rows(spec: ModelSpec, seq_len: int, max_new: int,
     run (:func:`_decode_heldout_rows`) and ``tst warmup`` so the warmup
     compiles the SAME [k, chunk] decode program the run later executes."""
     s_max = seq_len + max_new + (-max_new) % 128
+    itemsize = jnp.dtype(spec.dtype).itemsize  # cache lives in spec.dtype
     row_bytes = (spec.n_layers * s_max * spec.n_kv_heads * spec.d_head
-                 * 2 * 2)  # bf16 K + V
+                 * 2 * itemsize)  # K + V
     return max(1, min(32, int(2.5e9 / max(k * row_bytes, 1))))
 
 

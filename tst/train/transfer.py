@@ -79,6 +79,7 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
         params, lora, spec, lspec, tokens_ev, pos_ev,
         tb_eval.option_token_ids, tb_eval.n_options,
         fold_id=np.zeros(tb_eval.n, np.int32), k=1, use_pallas=on_tpu,
+        option_seqs=tb_eval.option_token_seqs,
     )
     pred = probs.argmax(-1).astype(np.int32)
     blind_acc = float(metrics.accuracy(pred, tb_eval.gold))
