@@ -36,6 +36,108 @@ class TestQuantizeLeaf:
         np.testing.assert_allclose(back[1], 100.0, rtol=0.01)
 
 
+class TestInt4:
+    def test_roundtrip_error_small(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32) * 0.05
+        q = quantize_leaf(w, bits=4)
+        assert q["q"].dtype == jnp.int4
+        assert q["scale"].shape == (2, 1, 64)  # 256/128 groups
+        back = dequantize_leaf(q, jnp.float32)
+        err = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
+        assert err < 0.08  # 4-bit: ~half-step of 1/7 of the per-group amax
+
+    def test_stacked_grouped_scales(self):
+        w = jnp.stack([jnp.ones((256, 16)), 100 * jnp.ones((256, 16))])
+        q = quantize_leaf(w, bits=4)
+        assert q["q"].shape == (2, 256, 16) and q["scale"].shape == (2, 2, 1, 16)
+        back = np.asarray(dequantize_leaf(q, jnp.float32))
+        np.testing.assert_allclose(back[0], 1.0, rtol=0.01)
+        np.testing.assert_allclose(back[1], 100.0, rtol=0.01)
+
+    def test_indivisible_input_falls_back_to_int8(self):
+        w = jnp.ones((100, 16))  # 100 % 128 != 0
+        q = quantize_leaf(w, bits=4)
+        assert q["q"].dtype == jnp.int8
+
+    def test_embed_and_head_stay_int8(self):
+        from tst.models.quant import leaf_bits
+
+        assert leaf_bits("embed", 4) == 8 and leaf_bits("lm_head", 4) == 8
+        assert leaf_bits("wq", 4) == 4 and leaf_bits("w_down", 4) == 4
+        assert leaf_bits("wq", 8) == 8
+
+    def test_init_params_int4_structure(self):
+        # NB: init_params(quantize=True) draws per-layer RNG keys (so the f32
+        # stack never materializes) — its weights are a DIFFERENT random draw
+        # than init_params(); only structure is checked here. Forward
+        # closeness is tested via quantize_params on the same tree below.
+        spec = spec_by_name("small", dtype=jnp.float32)
+        q4 = init_params(jax.random.key(0), spec, quantize=True, bits=4)
+        assert q4["layers"]["wq"]["q"].dtype == jnp.int4
+        assert q4["embed"]["q"].dtype == jnp.int8  # stays int8 by design
+        # grouped scale is one rank higher than the weight
+        assert q4["layers"]["wq"]["scale"].ndim == q4["layers"]["wq"]["q"].ndim + 1
+
+    def test_int4_forward_matches_fake_quant(self):
+        """The int4 model forward must equal a forward over the explicitly
+        dequantized tree — tests the in-graph grouped-dequant wiring exactly,
+        independent of quantization noise (which a random-init network
+        amplifies chaotically; the noise bound itself is covered by
+        test_roundtrip_error_small)."""
+        from tst.models.quant import dequantize_leaf, is_quantized_leaf
+
+        spec = spec_by_name("small", dtype=jnp.float32)
+        tokens = jnp.arange(64, dtype=jnp.int32)[None, :] % 300
+        q4 = quantize_params(init_params(jax.random.key(0), spec), bits=4)
+        assert q4["layers"]["wq"]["q"].dtype == jnp.int4
+
+        def deq(node):
+            if is_quantized_leaf(node):
+                return dequantize_leaf(node, jnp.float32)
+            if isinstance(node, dict):
+                return {k: deq(v) for k, v in node.items()}
+            return node
+
+        out = np.asarray(apply_model(q4, tokens, spec))
+        ref = np.asarray(apply_model(deq(q4), tokens, spec))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_int4_bytes_below_int8(self):
+        spec = spec_by_name("small", dtype=jnp.bfloat16)
+        q8 = quantized_bytes(init_params(jax.random.key(0), spec, quantize=True, bits=8))
+        q4 = quantized_bytes(init_params(jax.random.key(0), spec, quantize=True, bits=4))
+        assert q4 < 0.85 * q8  # embed dominates "small"; layer stack halves
+
+    def test_pspec_tree_handles_grouped_scale(self):
+        from jax.sharding import PartitionSpec as P
+
+        from tst.runtime import mesh as mesh_mod
+
+        spec = spec_by_name("small", dtype=jnp.float32)
+        q4 = init_params(jax.random.key(0), spec, quantize=True, bits=4)
+        pspecs = mesh_mod.param_pspec_tree(q4)
+        assert pspecs["layers"]["wq"]["q"] == P(None, "data", "tensor")
+        assert pspecs["layers"]["wq"]["scale"] == P(None, None, None, "tensor")
+
+    def test_lora_training_on_int4_base(self):
+        from tst.train.sft import sft_loss_window
+
+        spec = spec_by_name("small", dtype=jnp.float32)
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec, quantize=True, bits=4)
+        lora = init_lora(jax.random.key(1), spec, lspec)
+        tokens = jnp.arange(64, dtype=jnp.int32)[None, :] % 250
+        mask = jnp.zeros((1, 64)).at[:, 30:33].set(1.0)
+        pos = jnp.asarray([29], jnp.int32)
+        loss, grads = jax.value_and_grad(
+            lambda lo: sft_loss_window(params, lo, tokens, mask, pos, 4, spec, lspec)
+        )(lora)
+        assert np.isfinite(float(loss))
+        gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+        assert gnorm > 0
+
+
 class TestQuantizedModel:
     def test_forward_close_to_fp(self):
         spec = spec_by_name("small", dtype=jnp.float32)

@@ -58,7 +58,8 @@ class ModelConfig:
     #   (only the attention tensors — the long-seq middle ground);
     # measured guidance in docs/RESULTS.md: "dots" for short seq, True for
     # 16k+ (the dots-family exceeds the schedulable HBM there)
-    quantize: str = "none"  # "none" | "int8" — weights-only base quantization
+    quantize: str = "none"  # "none" | "int8" | "int4" — weights-only base quantization
+    # ("int4" = RTN-g128 on the stacked layer matrices, embed/lm_head stay int8)
     # (int8 halves base HBM: Llama-3-8B fits a single 16 GB v5e chip)
 
 

@@ -152,12 +152,15 @@ PARAM_AXES: Dict[str, tuple] = {
 }
 
 
-def init_params(rng: jax.Array, spec: ModelSpec, quantize: bool = False) -> Params:
+def init_params(rng: jax.Array, spec: ModelSpec, quantize: bool = False,
+                bits: int = 8) -> Params:
     """Random init (scaled normal), used for tests and as the load target.
 
-    ``quantize=True`` converts each big matrix to int8 the moment it is
-    created, so the full-precision tree never exists at once (an 8B bf16
-    tree alone exceeds a single v5e's HBM)."""
+    ``quantize=True`` converts each big matrix to int8 (or, with ``bits=4``,
+    RTN-g128 int4 for the stacked layer matrices — embed/lm_head stay int8,
+    see tst.models.quant.leaf_bits) the moment it is created, so the
+    full-precision tree never exists at once (an 8B bf16 tree alone exceeds
+    a single v5e's HBM)."""
     k_embed, k_layers, k_head = jax.random.split(rng, 3)
     d, L = spec.d_model, spec.n_layers
     dt = spec.dtype
@@ -165,17 +168,19 @@ def init_params(rng: jax.Array, spec: ModelSpec, quantize: bool = False) -> Para
     def norm_init(shape):
         return jnp.ones(shape, dt)
 
-    def dense(key, shape, fan_in):
+    def dense(key, shape, fan_in, name):
         if not quantize:
             return (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dt)
         # quantized init: generate + quantize layer-by-layer so neither the
         # f32 RNG transient nor a full-precision stack ever materializes
-        from tst.models.quant import quantize_leaf
+        from tst.models.quant import leaf_bits, quantize_leaf
 
+        b = leaf_bits(name, bits)
         if len(shape) == 3:
             parts = [
                 quantize_leaf(
-                    (jax.random.normal(k, shape[1:], jnp.float32) / np.sqrt(fan_in)).astype(dt)
+                    (jax.random.normal(k, shape[1:], jnp.float32) / np.sqrt(fan_in)).astype(dt),
+                    bits=b,
                 )
                 for k in jax.random.split(key, shape[0])
             ]
@@ -184,32 +189,33 @@ def init_params(rng: jax.Array, spec: ModelSpec, quantize: bool = False) -> Para
                 "scale": jnp.stack([p["scale"] for p in parts]),
             }
         return quantize_leaf(
-            (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dt)
+            (jax.random.normal(key, shape, jnp.float32) / np.sqrt(fan_in)).astype(dt),
+            bits=b,
         )
 
     ks = jax.random.split(k_layers, 7)
     layers = {
         "attn_norm": norm_init((L, d)),
-        "wq": dense(ks[0], (L, d, spec.q_dim), d),
-        "wk": dense(ks[1], (L, d, spec.kv_dim), d),
-        "wv": dense(ks[2], (L, d, spec.kv_dim), d),
-        "wo": dense(ks[3], (L, spec.q_dim, d), spec.q_dim),
+        "wq": dense(ks[0], (L, d, spec.q_dim), d, "wq"),
+        "wk": dense(ks[1], (L, d, spec.kv_dim), d, "wk"),
+        "wv": dense(ks[2], (L, d, spec.kv_dim), d, "wv"),
+        "wo": dense(ks[3], (L, spec.q_dim, d), spec.q_dim, "wo"),
         "mlp_norm": norm_init((L, d)),
-        "w_gate": dense(ks[4], (L, d, spec.d_ff), d),
-        "w_up": dense(ks[5], (L, d, spec.d_ff), d),
-        "w_down": dense(ks[6], (L, spec.d_ff, d), spec.d_ff),
+        "w_gate": dense(ks[4], (L, d, spec.d_ff), d, "w_gate"),
+        "w_up": dense(ks[5], (L, d, spec.d_ff), d, "w_up"),
+        "w_down": dense(ks[6], (L, spec.d_ff, d), spec.d_ff, "w_down"),
     }
     if spec.qkv_bias:
         layers["bq"] = jnp.zeros((L, spec.q_dim), dt)
         layers["bk"] = jnp.zeros((L, spec.kv_dim), dt)
         layers["bv"] = jnp.zeros((L, spec.kv_dim), dt)
     params: Params = {
-        "embed": dense(k_embed, (spec.vocab_size, d), d),
+        "embed": dense(k_embed, (spec.vocab_size, d), d, "embed"),
         "layers": layers,
         "final_norm": norm_init((d,)),
     }
     if not spec.tie_embeddings:
-        params["lm_head"] = dense(k_head, (d, spec.vocab_size), d)
+        params["lm_head"] = dense(k_head, (d, spec.vocab_size), d, "lm_head")
     return params
 
 

@@ -1,4 +1,4 @@
-"""Weights-only int8 quantization of the frozen base model.
+"""Weights-only int8/int4 quantization of the frozen base model.
 
 Why this exists: the blind-SFT diagnostic freezes the base LLM — only LoRA
 adapters train — so the base is a read-only memory payload. Per-channel int8
@@ -6,12 +6,21 @@ halves it: Llama-3-8B drops from 16.1 GB (bf16, does NOT fit a 16 GB v5e
 chip) to 8.2 GB, making the k-fold 8B stress-test runnable on one chip and
 halving HBM weight traffic everywhere (the usual TPU bottleneck).
 
-Scheme: symmetric per-output-channel scales, f32 scale vector per matrix.
+int8 scheme: symmetric per-output-channel scales, f32 scale vector per
+matrix. int4 scheme: symmetric group-wise scales (group=128 along the
+input axis — the standard RTN-g128 recipe; plain per-channel int4 loses
+too much signal). int4 applies to the stacked layer matrices only; embed
+and lm_head stay int8 (gather-friendly, quality-critical), so "int4" on
+Llama-3-8B is ~4.6 GB of weights (XLA packs two int4 per byte in HBM) and
+near-halves the per-step weight read once more.
+
 Dequantization (`q.astype(bf16) * scale`) happens inside the layer scan and
 fuses into the consuming matmul's prologue — no materialized bf16 copy.
 Norms and biases stay in the working dtype (tiny, precision-critical).
 Gradients never flow to the base, so training semantics are unchanged;
-forward error is the usual <1% per-channel weights-only noise (tested).
+forward error is the usual <1% per-channel weights-only noise for int8
+(tested); int4-g128 sits near ~2% and is opt-in where HBM capacity, not
+fidelity, binds (it buys remat headroom on the 8B k=5 leg).
 """
 
 from __future__ import annotations
@@ -28,16 +37,37 @@ Params = Dict[str, Any]
 #: rows dequantize just as cheaply). Norms/biases excluded.
 _QUANT_KEYS = {"embed", "lm_head", "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
 
+#: int4 applies to the stacked layer matrices only: embed/lm_head rows are
+#: gathered (group scales would need index arithmetic) and are the most
+#: fidelity-sensitive leaves — they stay int8 under bits=4.
+_INT4_KEYS = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
 
-def quantize_leaf(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[..., out] weight → {"q": int8, "scale": f32 [..., 1, out]-broadcastable}.
+#: int4 group size along the input axis (RTN-g128). Every spec's input dims
+#: (d_model, q_dim, d_ff) are multiples of 128; quantize_leaf falls back to
+#: per-channel int8 for any leaf where they are not.
+INT4_GROUP = 128
 
-    Per-output-channel symmetric: scale over the input axis per last-axis
-    column (for stacked [L, in, out] weights: per (L, out) — each layer keeps
-    its own scales). Stacked weights quantize layer-by-layer (``lax.map``) so
-    the f32 transient is ONE layer, not the whole stack — an 8B w_gate stack
-    in f32 alone is 7.5 GB.
+
+def quantize_leaf(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
+    """[..., in, out] weight → {"q": int8|int4, "scale": f32 broadcastable}.
+
+    bits=8: per-output-channel symmetric — scale over the input axis per
+    last-axis column, shape [..., 1, out] (for stacked [L, in, out] weights:
+    per (L, out) — each layer keeps its own scales).
+
+    bits=4: symmetric group-wise — the input axis is cut into
+    :data:`INT4_GROUP`-row groups, one scale per (group, out) column; scale
+    shape [..., in/g, 1, out] (one rank higher than q — how
+    :func:`dequantize_leaf` recognizes the grouped layout).
+
+    Stacked weights quantize layer-by-layer (``lax.map``) so the f32
+    transient is ONE layer, not the whole stack — an 8B w_gate stack in f32
+    alone is 7.5 GB.
     """
+    if bits == 4 and w.ndim >= 2 and w.shape[-2] % INT4_GROUP == 0:
+        return _quantize_leaf_int4(w)
+    if bits not in (4, 8):
+        raise ValueError(f"quantize_leaf: bits must be 4 or 8, got {bits}")
 
     def one(w2d):
         wf = w2d.astype(jnp.float32)
@@ -54,9 +84,32 @@ def quantize_leaf(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "scale": scale}
 
 
+def _quantize_leaf_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    g = INT4_GROUP
+
+    def one(w2d):
+        n_in, n_out = w2d.shape
+        wf = w2d.astype(jnp.float32).reshape(n_in // g, g, n_out)
+        amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # [in/g, 1, out]
+        scale = jnp.maximum(amax / 7.0, 1e-12)
+        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+        return q.reshape(n_in, n_out), scale.astype(jnp.float32)
+
+    if w.ndim == 3:
+        q, scale = jax.lax.map(one, w)
+    else:
+        q, scale = one(w)
+    return {"q": q, "scale": scale}
+
+
 def dequantize_leaf(leaf, dtype) -> jnp.ndarray:
     if is_quantized_leaf(leaf):
-        return (leaf["q"].astype(jnp.float32) * leaf["scale"]).astype(dtype)
+        q, scale = leaf["q"], leaf["scale"]
+        if scale.ndim == q.ndim + 1:  # int4 grouped: [..., in/g, 1, out]
+            g = q.shape[-2] // scale.shape[-3]
+            grouped = q.reshape(*scale.shape[:-3], scale.shape[-3], g, q.shape[-1])
+            return (grouped.astype(jnp.float32) * scale).reshape(q.shape).astype(dtype)
+        return (q.astype(jnp.float32) * scale).astype(dtype)
     return leaf.astype(dtype)
 
 
@@ -64,7 +117,13 @@ def is_quantized_leaf(leaf) -> bool:
     return isinstance(leaf, dict) and "q" in leaf and "scale" in leaf
 
 
-def quantize_params(params: Params) -> Params:
+def leaf_bits(leaf_key: str, bits: int) -> int:
+    """Effective bit width for one leaf: under bits=4 only the stacked layer
+    matrices go int4; embed/lm_head stay int8."""
+    return 4 if (bits == 4 and leaf_key in _INT4_KEYS) else 8
+
+
+def quantize_params(params: Params, bits: int = 8) -> Params:
     """Quantize the big matrices of a base-param pytree (norms/biases kept).
 
     Mutates ``params`` IN PLACE, leaf by leaf, so each source leaf's buffer
@@ -80,13 +139,13 @@ def quantize_params(params: Params) -> Params:
             if isinstance(child, dict) and not is_quantized_leaf(child):
                 walk(child)
             elif key in _QUANT_KEYS and not is_quantized_leaf(child):
-                node[key] = quantize_leaf(child)
+                node[key] = quantize_leaf(child, bits=leaf_bits(key, bits))
         return node
 
     return walk(params)
 
 
-def quantizing_put(dtype=jnp.bfloat16, device=None):
+def quantizing_put(dtype=jnp.bfloat16, device=None, bits: int = 8):
     """A ``put`` callback for tst.models.hf_load.load_checkpoint that
     quantizes each streamed tensor on arrival — the 8B checkpoint never
     exists on device (or host) in bf16 at once."""
@@ -97,7 +156,7 @@ def quantizing_put(dtype=jnp.bfloat16, device=None):
         if device is not None:
             x = jax.device_put(x, device)
         if leaf_key in _QUANT_KEYS:
-            return quantize_leaf(x)
+            return quantize_leaf(x, bits=leaf_bits(leaf_key, bits))
         return x
 
     return put
@@ -106,5 +165,10 @@ def quantizing_put(dtype=jnp.bfloat16, device=None):
 def quantized_bytes(params: Params) -> int:
     total = 0
     for leaf in jax.tree.leaves(params):
-        total += leaf.size * leaf.dtype.itemsize
+        if leaf.dtype == jnp.int4:
+            # XLA packs two s4 per byte in device memory; ml_dtypes reports
+            # itemsize 1 for the host representation.
+            total += (leaf.size + 1) // 2
+        else:
+            total += leaf.size * leaf.dtype.itemsize
     return total

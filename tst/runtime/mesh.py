@@ -158,11 +158,14 @@ def param_pspec_tree(params) -> Any:
 
     def walk(node, path):
         if isinstance(node, dict):
-            if "q" in node and "scale" in node:  # int8-quantized leaf
+            if "q" in node and "scale" in node:  # int8/int4-quantized leaf
                 wspec = base_param_pspec(path)
-                # scale is [*, 1, out] (keepdims over the input axis): shard
-                # only the out axis, like the weight's last axis
-                sspec = P(*([None] * (len(wspec) - 1) + [wspec[-1]]))
+                # scale is [*, 1, out] for int8 (keepdims over the input
+                # axis) or [*, in/g, 1, out] for grouped int4 — one rank
+                # higher. Either way: shard only the out axis, like the
+                # weight's last axis.
+                srank = node["scale"].ndim
+                sspec = P(*([None] * (srank - 1) + [wspec[-1]]))
                 return {"q": wspec, "scale": sspec}
             return {k: walk(v, f"{path}.{k}" if path else k) for k, v in node.items()}
         return base_param_pspec(path)

@@ -63,9 +63,10 @@ def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[s
     tensor AS IT IS CREATED/STREAMED — a full-precision 8B tree (16.1 GB,
     over one v5e's HBM) never materializes on device."""
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.model.dtype]
-    quantize = cfg.model.quantize == "int8"
-    if not quantize and cfg.model.quantize != "none":
+    quant_bits = {"none": None, "int8": 8, "int4": 4}.get(cfg.model.quantize, -1)
+    if quant_bits == -1:
         raise ValueError(f"unknown model.quantize {cfg.model.quantize!r}")
+    quantize = quant_bits is not None
 
     def _place(path, leaf):
         """device_put a (possibly quantized) leaf with its mesh sharding."""
@@ -77,7 +78,9 @@ def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[s
             wspec = mesh_mod.base_param_pspec(path)
             from jax.sharding import PartitionSpec as P
 
-            sspec = P(*([None] * (len(wspec) - 1) + [wspec[-1]]))
+            # int8 scale is [*, 1, out]; grouped int4 scale [*, in/g, 1, out]
+            # (one rank higher) — shard the out axis either way.
+            sspec = P(*([None] * (leaf["scale"].ndim - 1) + [wspec[-1]]))
             return {
                 "q": jax.device_put(leaf["q"], NamedSharding(mesh, wspec)),
                 "scale": jax.device_put(leaf["scale"], NamedSharding(mesh, sspec)),
@@ -91,7 +94,7 @@ def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[s
 
         spec = spec_from_hf_config(cfg.model.path, name=cfg.model.name)
         spec = type(spec)(**{**spec.__dict__, "dtype": dtype})
-        base_put = quantizing_put(dtype) if quantize else (
+        base_put = quantizing_put(dtype, bits=quant_bits) if quantize else (
             lambda path, a: jnp.asarray(a, dtype))
 
         def put(path, a):
@@ -102,7 +105,8 @@ def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[s
         spec = spec_by_name(cfg.model.name, dtype=dtype)
         if spec.vocab_size < tokenizer.vocab_size:
             spec = spec_by_name(cfg.model.name, dtype=dtype, vocab_size=tokenizer.vocab_size)
-        params = init_params(jax.random.key(cfg.data.seed), spec, quantize=quantize)
+        params = init_params(jax.random.key(cfg.data.seed), spec,
+                             quantize=quantize, bits=quant_bits or 8)
         if mesh is not None:
             params = mesh_mod.shard_tree(params, mesh_mod.param_pspec_tree(params), mesh)
     return spec, params
