@@ -79,8 +79,12 @@ def main() -> None:
     K = 5
     BATCH = 4
     SEQ = 512
-    STEPS = 12
-    WARMUP = 3
+    # step-count overrides exist for the CPU contract test
+    # (tests/test_bench_contract.py) — the driver's TPU runs never set them
+    import os
+
+    STEPS = max(1, int(os.environ.get("TST_BENCH_STEPS", 12)))
+    WARMUP = max(1, int(os.environ.get("TST_BENCH_WARMUP", 3)))
     spec = spec_by_name("qwen2.5-0.5b" if on_tpu else "small")
 
     ds = make_synthetic_mcq(n=256, bias_fraction=0.5, seed=0)

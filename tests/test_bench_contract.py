@@ -19,9 +19,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_emits_tracked_metric_json():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the contract is the JSON line's shape, not steady-state timing: shrink
+    # the step counts so the CPU run is compile-dominated, not step-dominated
+    # (full CPU bench is ~25 min and has timed out under host contention)
+    env["TST_BENCH_STEPS"] = "2"
+    env["TST_BENCH_WARMUP"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=1500, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
