@@ -98,6 +98,42 @@ class TestShardedTraining:
         np.testing.assert_allclose(log_1.losses, log_8.losses, rtol=2e-3)
         np.testing.assert_allclose(probs_1, probs_8, atol=2e-3)
 
+    def test_sharded_int4_base_matches_single_device(self):
+        """int4-g128 grouped scales shard on the tensor axis ([*, in/g, 1,
+        out] pspecs) — the sharded LoRA-on-int4 train must match 1-device
+        numerics. Uses the "small" spec: "tiny"'s 64-wide in-dims silently
+        fall back to int8, which would make this test vacuous."""
+        from tst.models.quant import quantize_params
+
+        spec = spec_by_name("small", dtype=jnp.float32)
+        lspec = LoraSpec(rank=4, alpha=8.0, dtype=jnp.float32)
+        ds = make_synthetic_mcq(n=32, bias_fraction=1.0, seed=3)
+        tb = tokenize_dataset(ds, ByteTokenizer(), max_len=256)
+        fid = kfold_assign(ds, 2, seed=0)
+        batches = make_fold_batches(fid, 2, batch_size=4, epochs=1, seed=0)[:3]
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+        tokens = jnp.asarray(tb.tokens)
+        mask = jnp.asarray(tb.loss_mask)
+        pos = jnp.asarray(tb.answer_pos)
+
+        def train(mesh):
+            params = quantize_params(
+                init_params(jax.random.key(0), spec), bits=4)
+            assert params["layers"]["wq"]["q"].dtype == jnp.int4  # no fallback
+            if mesh is not None:
+                params = mesh_mod.shard_tree(
+                    params, mesh_mod.param_pspec_tree(params), mesh)
+            tr = FoldTrainer(spec, lspec, k=2, lr=1e-3, total_steps=3,
+                             mesh=mesh, t_max=t_max)
+            lora, opt = tr.init_state(jax.random.key(5))
+            lora, _, log = tr.fit(params, lora, opt, tokens, mask, batches,
+                                  all_pos=pos, log_every=1)
+            return log.losses
+
+        losses_1 = train(mesh=None)
+        losses_8 = train(mesh=mesh_mod.make_mesh(fold=2, data=2, tensor=2))
+        np.testing.assert_allclose(losses_1, losses_8, rtol=2e-3)
+
     def test_ring_training_matches_dense(self):
         """Sequence-parallel (ring attention) training == dense numerics."""
         spec = spec_by_name("tiny", dtype=jnp.float32)
