@@ -137,6 +137,47 @@ class TestInt4:
         gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
         assert gnorm > 0
 
+    @pytest.mark.slow
+    def test_diagnostic_sx_separation_survives_int4(self):
+        """The premise of shipping int4 for the 8B diagnostic: quantizing the
+        frozen base must not change WHICH samples the blind SFT flags. At a
+        fully-planted bias both runs saturate (acc 1.0) and rankings are
+        noise (fp-vs-int8 rho measured -0.53 there), so the meaningful
+        invariant is at PARTIAL bias: s(x) must separate the planted-biased
+        half from the clean half under the fp and int4 bases alike."""
+        import tempfile
+
+        from tst.config import RunConfig
+        from tst.data.synthetic import make_synthetic_mcq
+        from tst.train.pipeline import run_sft_diagnostic
+
+        ds = make_synthetic_mcq(n=64, bias_fraction=0.5,
+                                bias_kind="position", seed=0)
+        planted = np.array([s.meta["planted_bias"] for s in ds])
+
+        def sep(quantize):
+            cfg = RunConfig()
+            cfg.data.bench = "synthetic"
+            cfg.data.k = 2
+            cfg.model.name = "small"  # int4-eligible dims (tiny falls back)
+            cfg.model.dtype = "float32"
+            cfg.model.use_pallas = False
+            cfg.model.quantize = quantize
+            cfg.lora.rank = 4
+            cfg.lora.alpha = 8.0
+            cfg.lora.targets = ("q_proj", "v_proj")
+            cfg.optim.lr = 5e-3
+            cfg.optim.epochs = 6
+            cfg.optim.batch_size = 16
+            cfg.out_dir = tempfile.mkdtemp()
+            rep = run_sft_diagnostic(ds, cfg, return_state=True)
+            s_x = np.asarray(rep["_state"]["s_x"])
+            return float(s_x[planted].mean() - s_x[~planted].mean())
+
+        sep_fp, sep_q4 = sep("none"), sep("int4")
+        assert sep_fp > 0.15, f"fp diagnostic lost the planted split: {sep_fp:.3f}"
+        assert sep_q4 > 0.15, f"int4 lost the planted split: {sep_q4:.3f}"
+
 
 class TestQuantizedModel:
     def test_forward_close_to_fp(self):
