@@ -119,7 +119,8 @@ class TestShardedTraining:
         def train(mesh):
             params = quantize_params(
                 init_params(jax.random.key(0), spec), bits=4)
-            assert params["layers"]["wq"]["q"].dtype == jnp.int4  # no fallback
+            wq = params["layers"]["wq"]
+            assert wq["scale"].ndim == wq["q"].ndim + 1  # grouped, no fallback
             if mesh is not None:
                 params = mesh_mod.shard_tree(
                     params, mesh_mod.param_pspec_tree(params), mesh)

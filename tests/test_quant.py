@@ -41,16 +41,31 @@ class TestInt4:
         rng = np.random.default_rng(0)
         w = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32) * 0.05
         q = quantize_leaf(w, bits=4)
-        assert q["q"].dtype == jnp.int4
+        # storage is nibble-packed int8 ([in/2, out]), NOT jnp.int4: the
+        # axon TPU backend cannot take S4 jit arguments (quant.py docstring)
+        assert q["q"].dtype == jnp.int8 and q["q"].shape == (128, 64)
         assert q["scale"].shape == (2, 1, 64)  # 256/128 groups
         back = dequantize_leaf(q, jnp.float32)
         err = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
         assert err < 0.08  # 4-bit: ~half-step of 1/7 of the per-group amax
 
+    def test_pack_unpack_exact_on_grid(self):
+        """Values already on the int4 grid survive quantize→dequantize
+        bit-exactly — isolates the nibble pack/unpack (incl. sign extension
+        of negative nibbles) from rounding noise."""
+        rng = np.random.default_rng(1)
+        ints = rng.integers(-7, 8, size=(256, 32)).astype(np.float32)
+        ints[0, :] = 7.0  # pin every group's amax so scale == 1/1 exactly
+        ints[128, :] = 7.0
+        w = jnp.asarray(ints * (1.0 / 7.0)) * 7.0  # exact small floats
+        q = quantize_leaf(w, bits=4)
+        back = np.asarray(dequantize_leaf(q, jnp.float32))
+        np.testing.assert_array_equal(back, ints)
+
     def test_stacked_grouped_scales(self):
         w = jnp.stack([jnp.ones((256, 16)), 100 * jnp.ones((256, 16))])
         q = quantize_leaf(w, bits=4)
-        assert q["q"].shape == (2, 256, 16) and q["scale"].shape == (2, 2, 1, 16)
+        assert q["q"].shape == (2, 128, 16) and q["scale"].shape == (2, 2, 1, 16)
         back = np.asarray(dequantize_leaf(q, jnp.float32))
         np.testing.assert_allclose(back[0], 1.0, rtol=0.01)
         np.testing.assert_allclose(back[1], 100.0, rtol=0.01)
@@ -58,7 +73,9 @@ class TestInt4:
     def test_indivisible_input_falls_back_to_int8(self):
         w = jnp.ones((100, 16))  # 100 % 128 != 0
         q = quantize_leaf(w, bits=4)
-        assert q["q"].dtype == jnp.int8
+        # per-channel int8 (scale same rank as q), not grouped-packed int4
+        assert q["q"].dtype == jnp.int8 and q["q"].shape == (100, 16)
+        assert q["scale"].ndim == q["q"].ndim
 
     def test_embed_and_head_stay_int8(self):
         from tst.models.quant import leaf_bits
@@ -74,10 +91,15 @@ class TestInt4:
         # closeness is tested via quantize_params on the same tree below.
         spec = spec_by_name("small", dtype=jnp.float32)
         q4 = init_params(jax.random.key(0), spec, quantize=True, bits=4)
-        assert q4["layers"]["wq"]["q"].dtype == jnp.int4
-        assert q4["embed"]["q"].dtype == jnp.int8  # stays int8 by design
-        # grouped scale is one rank higher than the weight
-        assert q4["layers"]["wq"]["scale"].ndim == q4["layers"]["wq"]["q"].ndim + 1
+        wq = q4["layers"]["wq"]
+        # packed: int8 storage, input axis halved, grouped scale one rank up
+        assert wq["q"].dtype == jnp.int8
+        assert wq["q"].shape[-2] == spec.d_model // 2
+        assert wq["scale"].ndim == wq["q"].ndim + 1
+        # embed stays per-channel int8 by design (same rank scale, full rows)
+        assert q4["embed"]["q"].dtype == jnp.int8
+        assert q4["embed"]["scale"].ndim == q4["embed"]["q"].ndim
+        assert q4["embed"]["q"].shape[0] == spec.vocab_size
 
     def test_int4_forward_matches_fake_quant(self):
         """The int4 model forward must equal a forward over the explicitly
@@ -90,7 +112,8 @@ class TestInt4:
         spec = spec_by_name("small", dtype=jnp.float32)
         tokens = jnp.arange(64, dtype=jnp.int32)[None, :] % 300
         q4 = quantize_params(init_params(jax.random.key(0), spec), bits=4)
-        assert q4["layers"]["wq"]["q"].dtype == jnp.int4
+        wq = q4["layers"]["wq"]
+        assert wq["scale"].ndim == wq["q"].ndim + 1  # grouped-packed, no fallback
 
         def deq(node):
             if is_quantized_leaf(node):

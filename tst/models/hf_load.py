@@ -141,12 +141,11 @@ def convert_state_dict(
 
 
 def _leaf_shape(leaf) -> tuple:
-    """Shape of a plain or int8-quantized ({"q","scale"}) leaf."""
-    from tst.models.quant import is_quantized_leaf
+    """Logical (pre-quantization) shape of a plain or quantized leaf —
+    packed-int4 leaves store in/2 rows, so q.shape alone would be wrong."""
+    from tst.models.quant import leaf_logical_shape
 
-    if is_quantized_leaf(leaf):
-        return tuple(leaf["q"].shape)
-    return tuple(leaf.shape)
+    return leaf_logical_shape(leaf)
 
 
 def _check_shapes(params: Params, spec: ModelSpec) -> None:

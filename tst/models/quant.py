@@ -11,8 +11,18 @@ matrix. int4 scheme: symmetric group-wise scales (group=128 along the
 input axis — the standard RTN-g128 recipe; plain per-channel int4 loses
 too much signal). int4 applies to the stacked layer matrices only; embed
 and lm_head stay int8 (gather-friendly, quality-critical), so "int4" on
-Llama-3-8B is ~4.6 GB of weights (XLA packs two int4 per byte in HBM) and
-near-halves the per-step weight read once more.
+Llama-3-8B is ~4.6 GB of weights and near-halves the per-step weight read
+once more.
+
+int4 STORAGE is two signed nibbles per int8 byte (rows 2i → low nibble,
+2i+1 → high, packed along the input axis), NOT jnp.int4: this
+environment's remote TPU backend cannot take S4 arrays as jit arguments —
+the relayout device_put recurses ("Recursively calling jit",
+RecursionError) — and eager S4 ops fail the same way. Packed int8 has
+byte-identical HBM footprint to XLA's packed S4, transfers/shards like
+any int8 array on every backend, and the unpack (two shifts) fuses into
+the consuming matmul's dequant prologue. A packed leaf is recognized by
+its grouped scale being one rank higher than ``q``.
 
 Dequantization (`q.astype(bf16) * scale`) happens inside the layer scan and
 fuses into the consuming matmul's prologue — no materialized bf16 copy.
@@ -58,7 +68,9 @@ def quantize_leaf(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
     bits=4: symmetric group-wise — the input axis is cut into
     :data:`INT4_GROUP`-row groups, one scale per (group, out) column; scale
     shape [..., in/g, 1, out] (one rank higher than q — how
-    :func:`dequantize_leaf` recognizes the grouped layout).
+    :func:`dequantize_leaf` recognizes the grouped layout). q is int8 with
+    two signed nibbles per byte, shape [..., in/2, out] (see module
+    docstring for why not jnp.int4).
 
     Stacked weights quantize layer-by-layer (``lax.map``) so the f32
     transient is ONE layer, not the whole stack — an 8B w_gate stack in f32
@@ -92,8 +104,12 @@ def _quantize_leaf_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         wf = w2d.astype(jnp.float32).reshape(n_in // g, g, n_out)
         amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # [in/g, 1, out]
         scale = jnp.maximum(amax / 7.0, 1e-12)
-        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
-        return q.reshape(n_in, n_out), scale.astype(jnp.float32)
+        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+        # nibble-pack adjacent input rows (2i → low nibble, 2i+1 → high);
+        # pairs never straddle a group boundary (g is even)
+        q = q.reshape(n_in // g, g // 2, 2, n_out)
+        packed = ((q[:, :, 0, :] & 0xF) | (q[:, :, 1, :] << 4)).astype(jnp.int8)
+        return packed.reshape(n_in // 2, n_out), scale.astype(jnp.float32)
 
     if w.ndim == 3:
         q, scale = jax.lax.map(one, w)
@@ -105,10 +121,16 @@ def _quantize_leaf_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 def dequantize_leaf(leaf, dtype) -> jnp.ndarray:
     if is_quantized_leaf(leaf):
         q, scale = leaf["q"], leaf["scale"]
-        if scale.ndim == q.ndim + 1:  # int4 grouped: [..., in/g, 1, out]
-            g = q.shape[-2] // scale.shape[-3]
-            grouped = q.reshape(*scale.shape[:-3], scale.shape[-3], g, q.shape[-1])
-            return (grouped.astype(jnp.float32) * scale).reshape(q.shape).astype(dtype)
+        if scale.ndim == q.ndim + 1:  # packed int4, scale [..., in/g, 1, out]
+            n_groups = scale.shape[-3]
+            n_in, n_out = 2 * q.shape[-2], q.shape[-1]
+            lead = q.shape[:-2]
+            p = q.reshape(*lead, n_groups, n_in // n_groups // 2, n_out)
+            low = ((p << 4) >> 4).astype(jnp.float32)   # sign-extend nibble
+            high = (p >> 4).astype(jnp.float32)          # arithmetic shift
+            grouped = jnp.stack([low, high], axis=-2)    # [.., G, g/2, 2, out]
+            grouped = grouped.reshape(*lead, n_groups, n_in // n_groups, n_out)
+            return (grouped * scale).reshape(*lead, n_in, n_out).astype(dtype)
         return (q.astype(jnp.float32) * scale).astype(dtype)
     return leaf.astype(dtype)
 
@@ -163,12 +185,18 @@ def quantizing_put(dtype=jnp.bfloat16, device=None, bits: int = 8):
 
 
 def quantized_bytes(params: Params) -> int:
-    total = 0
-    for leaf in jax.tree.leaves(params):
-        if leaf.dtype == jnp.int4:
-            # XLA packs two s4 per byte in device memory; ml_dtypes reports
-            # itemsize 1 for the host representation.
-            total += (leaf.size + 1) // 2
-        else:
-            total += leaf.size * leaf.dtype.itemsize
-    return total
+    # int4 leaves are already nibble-packed into int8, so a plain
+    # size × itemsize sum is exact for every representation.
+    return sum(leaf.size * leaf.dtype.itemsize
+               for leaf in jax.tree.leaves(params))
+
+
+def leaf_logical_shape(leaf) -> tuple:
+    """Pre-quantization shape of a plain or quantized leaf (undoes the
+    packed-int4 halving of the input axis)."""
+    if not is_quantized_leaf(leaf):
+        return tuple(leaf.shape)
+    q, scale = leaf["q"], leaf["scale"]
+    if scale.ndim == q.ndim + 1:  # packed int4
+        return (*q.shape[:-2], 2 * q.shape[-2], q.shape[-1])
+    return tuple(q.shape)
