@@ -41,9 +41,10 @@ class TestInt4:
         rng = np.random.default_rng(0)
         w = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32) * 0.05
         q = quantize_leaf(w, bits=4)
-        # storage is nibble-packed int8 ([in/2, out]), NOT jnp.int4: the
-        # axon TPU backend cannot take S4 jit arguments (quant.py docstring)
-        assert q["q"].dtype == jnp.int8 and q["q"].shape == (128, 64)
+        # storage is nibble-packed int8 ([in, out/2], planar out halves),
+        # NOT jnp.int4: the axon TPU backend cannot take S4 jit arguments,
+        # and planar packing is what lets qdot fuse (quant.py docstring)
+        assert q["q"].dtype == jnp.int8 and q["q"].shape == (256, 32)
         assert q["scale"].shape == (2, 1, 64)  # 256/128 groups
         back = dequantize_leaf(q, jnp.float32)
         err = np.abs(np.asarray(back - w)).max() / np.abs(np.asarray(w)).max()
@@ -65,10 +66,27 @@ class TestInt4:
     def test_stacked_grouped_scales(self):
         w = jnp.stack([jnp.ones((256, 16)), 100 * jnp.ones((256, 16))])
         q = quantize_leaf(w, bits=4)
-        assert q["q"].shape == (2, 128, 16) and q["scale"].shape == (2, 2, 1, 16)
+        assert q["q"].shape == (2, 256, 8) and q["scale"].shape == (2, 2, 1, 16)
         back = np.asarray(dequantize_leaf(q, jnp.float32))
         np.testing.assert_allclose(back[0], 1.0, rtol=0.01)
         np.testing.assert_allclose(back[1], 100.0, rtol=0.01)
+
+    def test_qdot_matches_materialized_dequant(self):
+        """qdot's two planar-half dots + output concat must equal the plain
+        einsum against the fully dequantized weight — for packed-int4, int8,
+        and plain leaves alike (the decoder/decode projections all route
+        through qdot)."""
+        from tst.models.quant import qdot
+
+        rng = np.random.default_rng(2)
+        y = jnp.asarray(rng.normal(size=(4, 256)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32) * 0.05
+        for leaf in (quantize_leaf(w, bits=4), quantize_leaf(w, bits=8), w):
+            ref = jnp.einsum("bk,kn->bn", y, dequantize_leaf(leaf, jnp.float32),
+                             preferred_element_type=jnp.float32)
+            got = qdot(y, leaf, jnp.float32)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-6, atol=1e-6)
 
     def test_indivisible_input_falls_back_to_int8(self):
         w = jnp.ones((100, 16))  # 100 % 128 != 0
@@ -92,9 +110,9 @@ class TestInt4:
         spec = spec_by_name("small", dtype=jnp.float32)
         q4 = init_params(jax.random.key(0), spec, quantize=True, bits=4)
         wq = q4["layers"]["wq"]
-        # packed: int8 storage, input axis halved, grouped scale one rank up
+        # packed: int8 storage, output axis halved, grouped scale one rank up
         assert wq["q"].dtype == jnp.int8
-        assert wq["q"].shape[-2] == spec.d_model // 2
+        assert wq["q"].shape[-2:] == (spec.d_model, spec.q_dim // 2)
         assert wq["scale"].ndim == wq["q"].ndim + 1
         # embed stays per-channel int8 by design (same rank scale, full rows)
         assert q4["embed"]["q"].dtype == jnp.int8

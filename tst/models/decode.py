@@ -29,7 +29,7 @@ import numpy as np
 
 from tst.models.decoder import (
     ModelSpec,
-    _w,
+    _qdot,
     apply_model,
     embed_lookup,
     apply_rope,
@@ -110,8 +110,8 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
         li = scanned["i"]  # traced scalar layer index
 
         def proj(name, y, w_key):
-            out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
-                             preferred_element_type=jnp.float32).astype(spec.dtype)
+            out = _qdot(y, lw[w_key], spec.dtype,
+                        preferred=jnp.float32).astype(spec.dtype)
             if la is not None and name in la:
                 out = out + apply_lora_delta(la[name], y, lora_spec)
             bias_key = {"q": "bq", "k": "bk", "v": "bv"}.get(name)

@@ -400,8 +400,10 @@ def apply_model(
             # write at 0.5B (profiled: two f32 [B,S,d_ff] saves = 24 ms/step).
             # NB TPU-only assumption: other XLA backends may legally
             # accumulate a bf16-out dot in reduced precision.
-            out = jnp.einsum("bsd,df->bsf", y, _w(lw[w_key], spec.dtype),
-                             preferred_element_type=spec.dtype)
+            # qdot: packed-int4 leaves split into two planar-half dots so
+            # the dequant fuses (tst.models.quant); plain/int8 leaves take
+            # the ordinary fused-dequant einsum.
+            out = _qdot(y, lw[w_key], spec.dtype)
             if la is not None and name in la:
                 rng = None
                 if layer_rng is not None:
@@ -516,6 +518,14 @@ def _w(leaf, dtype) -> jnp.ndarray:
     from tst.models.quant import dequantize_leaf
 
     return dequantize_leaf(leaf, dtype)
+
+
+def _qdot(y, leaf, dtype, preferred=None) -> jnp.ndarray:
+    """y @ W for plain / int8 / packed-int4 weight leaves (tst.models.quant:
+    packed leaves run one fused dot per planar nibble half)."""
+    from tst.models.quant import qdot
+
+    return qdot(y, leaf, dtype, preferred=preferred)
 
 
 def embed_lookup(params: Params, tokens: jnp.ndarray, spec: ModelSpec) -> jnp.ndarray:

@@ -14,15 +14,26 @@ and lm_head stay int8 (gather-friendly, quality-critical), so "int4" on
 Llama-3-8B is ~4.6 GB of weights and near-halves the per-step weight read
 once more.
 
-int4 STORAGE is two signed nibbles per int8 byte (rows 2i → low nibble,
-2i+1 → high, packed along the input axis), NOT jnp.int4: this
+int4 STORAGE is two signed nibbles per int8 byte, NOT jnp.int4: this
 environment's remote TPU backend cannot take S4 arrays as jit arguments —
 the relayout device_put recurses ("Recursively calling jit",
 RecursionError) — and eager S4 ops fail the same way. Packed int8 has
-byte-identical HBM footprint to XLA's packed S4, transfers/shards like
-any int8 array on every backend, and the unpack (two shifts) fuses into
-the consuming matmul's dequant prologue. A packed leaf is recognized by
-its grouped scale being one rank higher than ``q``.
+byte-identical HBM footprint to XLA's packed S4 and transfers/shards like
+any int8 array on every backend. A packed leaf is recognized by its
+grouped scale being one rank higher than ``q``.
+
+The pack layout is PLANAR along the output axis — column ``j`` in the low
+nibble, column ``j + out/2`` in the high nibble — so a matmul against the
+packed weight splits into two dots whose operands are pure elementwise
+chains over the packed bytes (shift, convert, group-scale via contiguous
+reshapes): XLA fuses each chain into its dot's prologue and the int4
+weight is never materialized (:func:`qdot`). An interleaved layout (row
+pairs packed along the input axis) was measured first and is ~2x slower
+end-to-end: its stack+reshape reconstruction defeats the dot-prologue
+fusion and a full f32 weight spills to HBM per use
+(scripts/microbench_int4_dequant.py: planar 2-dot +92 us over the pure
+bf16 matmul at [3584,4096,4096] vs interleave's +774 us — planar even
+beats fused int8's +158 us, the halved weight read showing through).
 
 Dequantization (`q.astype(bf16) * scale`) happens inside the layer scan and
 fuses into the consuming matmul's prologue — no materialized bf16 copy.
@@ -69,14 +80,16 @@ def quantize_leaf(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
     :data:`INT4_GROUP`-row groups, one scale per (group, out) column; scale
     shape [..., in/g, 1, out] (one rank higher than q — how
     :func:`dequantize_leaf` recognizes the grouped layout). q is int8 with
-    two signed nibbles per byte, shape [..., in/2, out] (see module
-    docstring for why not jnp.int4).
+    two signed nibbles per byte packed planar along the output axis, shape
+    [..., in, out/2] (see module docstring for why not jnp.int4 and why
+    planar).
 
     Stacked weights quantize layer-by-layer (``lax.map``) so the f32
     transient is ONE layer, not the whole stack — an 8B w_gate stack in f32
     alone is 7.5 GB.
     """
-    if bits == 4 and w.ndim >= 2 and w.shape[-2] % INT4_GROUP == 0:
+    if (bits == 4 and w.ndim >= 2 and w.shape[-2] % INT4_GROUP == 0
+            and w.shape[-1] % 2 == 0):
         return _quantize_leaf_int4(w)
     if bits not in (4, 8):
         raise ValueError(f"quantize_leaf: bits must be 4 or 8, got {bits}")
@@ -105,11 +118,11 @@ def _quantize_leaf_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # [in/g, 1, out]
         scale = jnp.maximum(amax / 7.0, 1e-12)
         q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
-        # nibble-pack adjacent input rows (2i → low nibble, 2i+1 → high);
-        # pairs never straddle a group boundary (g is even)
-        q = q.reshape(n_in // g, g // 2, 2, n_out)
-        packed = ((q[:, :, 0, :] & 0xF) | (q[:, :, 1, :] << 4)).astype(jnp.int8)
-        return packed.reshape(n_in // 2, n_out), scale.astype(jnp.float32)
+        q = q.reshape(n_in, n_out)
+        # planar nibble pack along out: col j → low nibble, j + out/2 → high
+        packed = ((q[:, : n_out // 2] & 0xF)
+                  | (q[:, n_out // 2:] << 4)).astype(jnp.int8)
+        return packed, scale.astype(jnp.float32)
 
     if w.ndim == 3:
         q, scale = jax.lax.map(one, w)
@@ -118,21 +131,54 @@ def _quantize_leaf_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"q": q, "scale": scale}
 
 
+def _unpack_half(q, scale, which: int, dtype) -> jnp.ndarray:
+    """Dequantize one planar nibble half of a packed-int4 leaf → f32-scaled
+    ``dtype`` [..., in, out/2]. ``which``: 0 = low nibbles (columns
+    [0, out/2)), 1 = high (columns [out/2, out)). A pure elementwise chain
+    plus contiguous reshapes — fuses into a consuming dot's prologue."""
+    n_groups = scale.shape[-3]
+    lead, n_in, n_half = q.shape[:-2], q.shape[-2], q.shape[-1]
+    vals = ((q << 4) >> 4) if which == 0 else (q >> 4)  # sign-extending
+    s = scale[..., :n_half] if which == 0 else scale[..., n_half:]
+    wf = vals.reshape(*lead, n_groups, n_in // n_groups, n_half).astype(jnp.float32) * s
+    return wf.reshape(*lead, n_in, n_half).astype(dtype)
+
+
 def dequantize_leaf(leaf, dtype) -> jnp.ndarray:
     if is_quantized_leaf(leaf):
         q, scale = leaf["q"], leaf["scale"]
         if scale.ndim == q.ndim + 1:  # packed int4, scale [..., in/g, 1, out]
-            n_groups = scale.shape[-3]
-            n_in, n_out = 2 * q.shape[-2], q.shape[-1]
-            lead = q.shape[:-2]
-            p = q.reshape(*lead, n_groups, n_in // n_groups // 2, n_out)
-            low = ((p << 4) >> 4).astype(jnp.float32)   # sign-extend nibble
-            high = (p >> 4).astype(jnp.float32)          # arithmetic shift
-            grouped = jnp.stack([low, high], axis=-2)    # [.., G, g/2, 2, out]
-            grouped = grouped.reshape(*lead, n_groups, n_in // n_groups, n_out)
-            return (grouped * scale).reshape(*lead, n_in, n_out).astype(dtype)
+            return jnp.concatenate(
+                [_unpack_half(q, scale, 0, dtype),
+                 _unpack_half(q, scale, 1, dtype)], axis=-1)
         return (q.astype(jnp.float32) * scale).astype(dtype)
     return leaf.astype(dtype)
+
+
+def qdot(y: jnp.ndarray, leaf, dtype, preferred=None) -> jnp.ndarray:
+    """``y[..., in] @ W[in, out]`` against a plain or quantized 2-D weight
+    leaf, without materializing a packed-int4 weight.
+
+    Packed leaves run one dot per planar nibble half — each half's dequant
+    chain is elementwise + contiguous reshapes, which XLA fuses into that
+    dot's prologue — then a single output concat restores column order
+    (measured: the fused pair beats even the int8 path at train shapes,
+    scripts/microbench_int4_dequant.py). int8/plain leaves take the usual
+    fused-dequant single dot.
+
+    ``dtype`` is the weight working dtype; ``preferred`` the dot's
+    accumulator/output dtype (defaults to ``dtype``)."""
+    preferred = preferred or dtype
+    if (is_quantized_leaf(leaf) and leaf["q"].ndim == 2
+            and leaf["scale"].ndim == 3):
+        q, scale = leaf["q"], leaf["scale"]
+        lo = jnp.einsum("...k,kn->...n", y, _unpack_half(q, scale, 0, dtype),
+                        preferred_element_type=preferred)
+        hi = jnp.einsum("...k,kn->...n", y, _unpack_half(q, scale, 1, dtype),
+                        preferred_element_type=preferred)
+        return jnp.concatenate([lo, hi], axis=-1)
+    return jnp.einsum("...k,kn->...n", y, dequantize_leaf(leaf, dtype),
+                      preferred_element_type=preferred)
 
 
 def is_quantized_leaf(leaf) -> bool:
@@ -193,10 +239,10 @@ def quantized_bytes(params: Params) -> int:
 
 def leaf_logical_shape(leaf) -> tuple:
     """Pre-quantization shape of a plain or quantized leaf (undoes the
-    packed-int4 halving of the input axis)."""
+    packed-int4 halving of the output axis)."""
     if not is_quantized_leaf(leaf):
         return tuple(leaf.shape)
     q, scale = leaf["q"], leaf["scale"]
     if scale.ndim == q.ndim + 1:  # packed int4
-        return (*q.shape[:-2], 2 * q.shape[-2], q.shape[-1])
+        return (*q.shape[:-1], 2 * q.shape[-1])
     return tuple(q.shape)
