@@ -220,6 +220,67 @@ class TestInt4:
         assert sep_q4 > 0.15, f"int4 lost the planted split: {sep_q4:.3f}"
 
 
+class TestInt4Kernel:
+    """Pallas dequant-matmul (tst.kernels.quant_matmul) — interpret-mode
+    parity on CPU; the real-chip measurement lives in
+    scripts/bench_8b_decode.py."""
+
+    def _leaf(self, k=256, n=256, seed=3):
+        rng = np.random.default_rng(seed)
+        w = jnp.asarray(rng.normal(size=(k, n)), jnp.float32) * 0.05
+        return w, quantize_leaf(w, bits=4)
+
+    def test_matches_qdot(self, monkeypatch):
+        from tst.kernels import quant_matmul as qm
+        from tst.models.quant import qdot
+
+        monkeypatch.setattr(qm, "_INTERPRET", True)
+        w, leaf = self._leaf()
+        y = jnp.asarray(np.random.default_rng(4).normal(size=(8, 256)),
+                        jnp.float32)
+        ref = np.asarray(qdot(y, leaf, jnp.float32))
+        got = np.asarray(qm.int4_matmul(y, leaf["q"], leaf["scale"]))
+        # the kernel reassociates (y@lo = y@byte - 16*y@hi), so bit equality
+        # is not expected — only float noise
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_multi_block_accumulation(self, monkeypatch):
+        from tst.kernels import quant_matmul as qm
+        from tst.models.quant import qdot
+
+        monkeypatch.setattr(qm, "_INTERPRET", True)
+        w, leaf = self._leaf(k=512, n=512)
+        y = jnp.asarray(np.random.default_rng(5).normal(size=(16, 512)),
+                        jnp.float32)
+        ref = np.asarray(qdot(y, leaf, jnp.float32))
+        got = np.asarray(qm.int4_matmul(y, leaf["q"], leaf["scale"],
+                                        block_n=128, block_k=128))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_decode_step_routes_packed_to_kernel(self, monkeypatch):
+        """greedy_decode(use_pallas=True) on an int4 base must produce the
+        same tokens as the XLA fallback path (the router pads B to a
+        sublane multiple and falls back on lane-misaligned leaves)."""
+        from tst.kernels import flash_attention as fa
+        from tst.kernels import quant_matmul as qm
+        from tst.models.decode import greedy_decode
+        from tst.models.decoder import spec_by_name
+
+        monkeypatch.setattr(qm, "_INTERPRET", True)
+        monkeypatch.setattr(fa, "_INTERPRET", True)  # flash prefill leg
+        spec = spec_by_name("small", dtype=jnp.float32)
+        params = quantize_params(
+            init_params(jax.random.key(0), spec), bits=4)
+        tokens = jnp.asarray(
+            np.tile(np.arange(32, dtype=np.int32) % 250, (3, 1)))  # B=3: pad
+        plen = jnp.asarray([32, 30, 32], jnp.int32)
+        ref = np.asarray(greedy_decode(params, tokens, plen, 4, spec,
+                                       use_pallas=False))
+        got = np.asarray(greedy_decode(params, tokens, plen, 4, spec,
+                                       use_pallas=True))
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestQuantizedModel:
     def test_forward_close_to_fp(self):
         spec = spec_by_name("small", dtype=jnp.float32)

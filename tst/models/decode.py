@@ -58,9 +58,40 @@ def layer_loop_for(spec) -> str:
     return "unroll" if spec.n_layers <= _UNROLL_MAX_LAYERS else "scan"
 
 
+def _step_dot(y, leaf, dtype, use_pallas, stack=None, li=None) -> jnp.ndarray:
+    """One decode-step projection dot, f32 out: y [B, 1, D] @ W [D, F].
+
+    Packed-int4 leaves on TPU route to the pallas dequant-matmul — at
+    decode's tiny M, XLA does not fuse the planar dequant into the dot and
+    the f32 halves spill to HBM (measured 57.8 vs 16.5 ms/step at 8B,
+    tst/kernels/quant_matmul.py). The kernel is fed the UNSLICED layer
+    stack (``stack``) plus the traced layer index (``li``): handing it the
+    scan-sliced 2-D leaf instead forces XLA to copy that layer's packed
+    bytes out of the stack every call — pallas inputs must be materialized
+    — which re-triples the weight traffic the kernel exists to halve.
+    Everything else (plain, int8, CPU, lane-misaligned halves) takes the
+    XLA path via qdot on the sliced leaf."""
+    from tst.models.quant import is_quantized_leaf
+
+    if (use_pallas and stack is not None and li is not None
+            and is_quantized_leaf(stack) and stack["q"].ndim == 3
+            and stack["scale"].ndim == 4
+            and stack["q"].shape[-1] % 128 == 0):
+        from tst.kernels.quant_matmul import int4_matmul_stacked
+
+        b = y.shape[0]
+        y2 = y.reshape(b, y.shape[-1])
+        pad = (-b) % 8  # one sublane tile
+        if pad:
+            y2 = jnp.pad(y2, ((0, pad), (0, 0)))
+        out = int4_matmul_stacked(y2, stack["q"], stack["scale"], li)
+        return out[:b].reshape(b, 1, out.shape[-1])
+    return _qdot(y, leaf, dtype, preferred=jnp.float32)
+
+
 def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
                  write_slot, prompt_len_b, prompt_slots, k_cache, v_cache,
-                 layer_loop=None):
+                 layer_loop=None, use_pallas=False):
     """One greedy step with the contiguous-slot cache layout.
 
     ``token_b`` [B] int32; ``rope_pos_b`` [B] = each row's semantic position
@@ -110,8 +141,9 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
         li = scanned["i"]  # traced scalar layer index
 
         def proj(name, y, w_key):
-            out = _qdot(y, lw[w_key], spec.dtype,
-                        preferred=jnp.float32).astype(spec.dtype)
+            out = _step_dot(y, lw[w_key], spec.dtype, use_pallas,
+                            stack=params["layers"].get(w_key),
+                            li=li).astype(spec.dtype)
             if la is not None and name in la:
                 out = out + apply_lora_delta(la[name], y, lora_spec)
             bias_key = {"q": "bq", "k": "bk", "v": "bv"}.get(name)
@@ -227,7 +259,7 @@ def greedy_decode(
             params, lora, lora_spec, spec, token,
             rope_pos_b=prompt_len + t, write_slot=jnp.int32(s) + t,
             prompt_len_b=prompt_len, prompt_slots=s, k_cache=kc, v_cache=vc,
-            layer_loop=layer_loop)
+            layer_loop=layer_loop, use_pallas=use_pallas)
         return (nxt, kc, vc), token
 
     (_, _, _), out = jax.lax.scan(

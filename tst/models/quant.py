@@ -119,9 +119,14 @@ def _quantize_leaf_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         scale = jnp.maximum(amax / 7.0, 1e-12)
         q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
         q = q.reshape(n_in, n_out)
-        # planar nibble pack along out: col j → low nibble, j + out/2 → high
-        packed = ((q[:, : n_out // 2] & 0xF)
-                  | (q[:, n_out // 2:] << 4)).astype(jnp.int8)
+        # planar nibble pack along out: col j → low nibble, j + out/2 → high.
+        # The low nibble is stored BIASED (+8, unsigned in [1, 15]) and the
+        # high signed, so byte == 16*hi + lo_biased as a plain int8 value:
+        # the decode kernel recovers hi with one floor-divide and gets the
+        # low-half matmul free via y@lo = y@byte - 16*(y@hi), with the -8
+        # bias folded into an output-size correction (quant_matmul.py).
+        packed = ((q[:, n_out // 2:] << 4)
+                  + (q[:, : n_out // 2] + 8)).astype(jnp.int8)
         return packed, scale.astype(jnp.float32)
 
     if w.ndim == 3:
@@ -138,7 +143,8 @@ def _unpack_half(q, scale, which: int, dtype) -> jnp.ndarray:
     plus contiguous reshapes — fuses into a consuming dot's prologue."""
     n_groups = scale.shape[-3]
     lead, n_in, n_half = q.shape[:-2], q.shape[-2], q.shape[-1]
-    vals = ((q << 4) >> 4) if which == 0 else (q >> 4)  # sign-extending
+    # low nibble is stored biased +8 (see _quantize_leaf_int4); high signed
+    vals = ((q & 0xF) - 8) if which == 0 else (q >> 4)
     s = scale[..., :n_half] if which == 0 else scale[..., n_half:]
     wf = vals.reshape(*lead, n_groups, n_in // n_groups, n_half).astype(jnp.float32) * s
     return wf.reshape(*lead, n_in, n_half).astype(dtype)
