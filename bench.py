@@ -257,6 +257,51 @@ def main() -> None:
             params8 = None  # free the int8 base for the remaining legs
             print(f"8B leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # ── 8B int4 greedy-decode serving leg: weight-read-bound, so the
+    # RTN-g128 base (4.76 GB vs int8's 8.04) plus the pallas dequant-matmul
+    # (tst/kernels/quant_matmul.py — stack-indexed, no per-layer slice copy)
+    # measured 11.6 vs 16.6 ms/step at B=16 (scripts/bench_8b_decode.py) ──
+    llama8b_decode = None
+    if on_tpu and llama8b is not None:
+        try:
+            from tst.models.decode import greedy_decode, layer_loop_for
+
+            spec8 = spec_by_name("llama3-8b")
+            params4 = init_params(jax.random.key(0), spec8, quantize=True,
+                                  bits=4)
+            loop8 = layer_loop_for(spec8)
+            D8B, D8_NEW, D8_SHORT = 16, 16, 4
+            rows8 = np.arange(D8B) % tokens.shape[0]
+            dt8_, dl8 = tokens[rows8], pos[rows8] + 1
+            f8 = jax.jit(lambda prm, t, pl_: greedy_decode(
+                prm, t, pl_, D8_NEW, spec8, use_pallas=True,
+                layer_loop=loop8))
+            np.asarray(f8(params4, dt8_, dl8))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                g8 = f8(params4, dt8_, dl8)
+            np.asarray(g8)
+            d_full = (time.perf_counter() - t0) / 3
+            f8s = jax.jit(lambda prm, t, pl_: greedy_decode(
+                prm, t, pl_, D8_SHORT, spec8, use_pallas=True,
+                layer_loop=loop8))
+            np.asarray(f8s(params4, dt8_, dl8))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                g8 = f8s(params4, dt8_, dl8)
+            np.asarray(g8)
+            d_short = (time.perf_counter() - t0) / 3
+            if d_full > d_short:
+                llama8b_decode = {
+                    "step_tokens_per_s": round(
+                        D8B * (D8_NEW - D8_SHORT) / (d_full - d_short), 1),
+                    "batch": D8B,
+                }
+            del params4, f8, f8s
+        except Exception as e:
+            print(f"8B int4 decode leg skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     # ── long-sequence leg: S=16384 through the flash path (VideoMME
     # transcripts, BASELINE config 4) ──
     longseq = None
@@ -423,6 +468,9 @@ def main() -> None:
         out["decode_batch"] = decode["batch"]
         if "step_tokens_per_s" in decode:
             out["decode_step_tokens_per_s"] = decode["step_tokens_per_s"]
+    if llama8b_decode is not None:
+        out["llama3_8b_int4_decode_step_tokens_per_s"] = (
+            llama8b_decode["step_tokens_per_s"])
     print(json.dumps(out))
 
 
