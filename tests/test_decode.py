@@ -177,6 +177,24 @@ class TestDecodeCompileScaling:
 
 
 class TestHeldoutDecodeChunking:
+    def test_chunk_budget_scales_with_base_bytes(self):
+        """The decode-chunk cap is what a 16 GB chip has left after the base
+        weights: an int4-8B base (~4.8 GB) must buy roughly twice the
+        rows/fold of the int8 base (~8.0 GB), and the legacy no-base call
+        must keep the conservative int8-envelope value."""
+        from tst.train.infer import decode_chunk_rows
+
+        spec8 = spec_by_name("llama3-8b")
+        legacy = decode_chunk_rows(spec8, 512, 12, 5)
+        int8 = decode_chunk_rows(spec8, 512, 12, 5, base_bytes=int(8.04e9))
+        int4 = decode_chunk_rows(spec8, 512, 12, 5, base_bytes=int(4.76e9))
+        assert legacy == int8  # 2.5 GB fallback == the int8 envelope
+        assert int4 >= 2 * int8
+        # 0.5B bf16 base: budget is huge, the measured 32-row cap holds
+        spec0 = spec_by_name("qwen2.5-0.5b")
+        assert decode_chunk_rows(spec0, 512, 12, 5,
+                                 base_bytes=int(1.0e9)) == 32
+
     def test_chunked_matches_one_shot(self):
         """_decode_heldout_rows with a small chunk must reproduce the
         one-shot decode exactly, including when the per-fold row count is

@@ -251,17 +251,24 @@ _DECODE_CACHE: Dict = {}
 
 
 def decode_chunk_rows(spec: ModelSpec, seq_len: int, max_new: int,
-                      k: int) -> int:
+                      k: int, base_bytes: Optional[int] = None) -> int:
     """Rows-per-fold chunk for held-out decode. The KV cache is the dominant
-    allocation (k·rows × [L, S+pad, KVH, dh] × 2); cap it at ~2.5 GB from
-    the model geometry (32 rows/fold at 0.5B, 5 at 8B). Shared by the real
-    run (:func:`_decode_heldout_rows`) and ``tst warmup`` so the warmup
+    allocation (k·rows × [L, S+pad, KVH, dh] × 2); its budget is what a
+    16 GB chip has left after the base weights (~10.5 GB for base+cache,
+    the envelope the measured int8-8B point sits in): 32 rows/fold at 0.5B,
+    5 at 8B-int8, ~11 at 8B-int4 — decode is weight-read-bound at 8B, so
+    rows freed by a smaller base amortize the read directly (int4 B=32
+    measured 2,255 steps-only tok/s vs 1,380 at B=16, docs/RESULTS.md).
+    Without ``base_bytes`` the budget falls back to the conservative 2.5 GB
+    (= the int8-8B envelope). Shared by the real run
+    (:func:`_decode_heldout_rows`) and ``tst warmup`` so the warmup
     compiles the SAME [k, chunk] decode program the run later executes."""
     s_max = seq_len + max_new + (-max_new) % 128
     itemsize = jnp.dtype(spec.dtype).itemsize  # cache lives in spec.dtype
     row_bytes = (spec.n_layers * s_max * spec.n_kv_heads * spec.d_head
                  * 2 * itemsize)  # K + V
-    return max(1, min(32, int(2.5e9 / max(k * row_bytes, 1))))
+    budget = 2.5e9 if base_bytes is None else max(1.5e9, 10.5e9 - base_bytes)
+    return max(1, min(32, int(budget / max(k * row_bytes, 1))))
 
 
 def _make_decode_fn(spec, lora_spec, max_new: int, use_pallas: bool,
@@ -331,7 +338,10 @@ def _decode_heldout_rows(
     fn = _make_decode_fn(spec, lora_spec, max_new, use_pallas,
                          with_lora=lora_k is not None)
     if chunk is None:
-        chunk = decode_chunk_rows(spec, tokens.shape[1], max_new, k)
+        from tst.models.quant import quantized_bytes
+
+        chunk = decode_chunk_rows(spec, tokens.shape[1], max_new, k,
+                                  base_bytes=quantized_bytes(base))
     mc = min(m, max(int(chunk), 1))
     pad = (-m) % mc
     idx_p = np.pad(idx, ((0, 0), (0, pad)))

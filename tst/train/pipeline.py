@@ -239,7 +239,10 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
         # the real run decodes fixed-shape [k, min(m, chunk)] programs
         # (tst.train.infer._decode_heldout_rows) — warm THAT grid, not the
         # unchunked [k, m] one the run never executes
-        mc = min(m, decode_chunk_rows(spec, tb.seq_len, max_new, k))
+        from tst.models.quant import quantized_bytes
+
+        mc = min(m, decode_chunk_rows(spec, tb.seq_len, max_new, k,
+                                      base_bytes=quantized_bytes(st.params)))
         t0 = time.time()
         fn = _make_decode_fn(spec, lspec, max_new, on_tpu, with_lora=True)
         fn.lower(st.params, st.lora, st.tokens, st.answer_pos + 1,
