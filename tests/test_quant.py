@@ -257,6 +257,27 @@ class TestInt4Kernel:
                                         block_n=128, block_k=128))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
+    def test_pipelined_body_matches_serial(self, monkeypatch):
+        """The software-pipelined body (unpack/dot staggered through VMEM
+        scratch) computes the exact same dots — bit-identical to the serial
+        kernel, including layer-stack indexing and the epilogue grid step."""
+        from tst.kernels import quant_matmul as qm
+
+        monkeypatch.setattr(qm, "_INTERPRET", True)
+        rng = np.random.default_rng(11)
+        leaves = [quantize_leaf(
+            jnp.asarray(rng.normal(size=(512, 256)), jnp.float32) * 0.05,
+            bits=4) for _ in range(3)]
+        qs = jnp.stack([lf["q"] for lf in leaves])
+        ss = jnp.stack([lf["scale"] for lf in leaves])
+        y = jnp.asarray(rng.normal(size=(16, 512)), jnp.float32)
+        for layer in (0, 2):
+            ref = np.asarray(qm.int4_matmul_stacked(
+                y, qs, ss, layer, block_n=128, block_k=128, pipeline=False))
+            got = np.asarray(qm.int4_matmul_stacked(
+                y, qs, ss, layer, block_n=128, block_k=128, pipeline=True))
+            np.testing.assert_array_equal(got, ref)
+
     def test_decode_step_routes_packed_to_kernel(self, monkeypatch):
         """greedy_decode(use_pallas=True) on an int4 base must produce the
         same tokens as the XLA fallback path (the router pads B to a
