@@ -262,7 +262,10 @@ def main() -> None:
     # (tst/kernels/quant_matmul.py — stack-indexed, no per-layer slice copy)
     # measured 11.6 vs 16.6 ms/step at B=16 (scripts/bench_8b_decode.py) ──
     llama8b_decode = None
-    if on_tpu and llama8b is not None:
+    # gated on on_tpu only: this leg builds its own int4 base and shares
+    # nothing with the int8 TRAIN leg, so a train-leg failure must not
+    # silently drop the serving metric
+    if on_tpu:
         try:
             from tst.models.decode import greedy_decode, layer_loop_for
 

@@ -92,3 +92,37 @@ def time_train_steps(w: Workload, trainer, batches, steps: int = 12,
                                            w.mask, w.pos, jnp.asarray(batches[t]))
     np.asarray(loss)
     return compile_s, (time.perf_counter() - t0) / steps
+
+
+def time_decode_steps(make_fn, args, batch: int, max_new: int = 16,
+                      short_new: int = 4, reps: int = 3):
+    """Steps-only decode rate by the difference method.
+
+    ``make_fn(max_new)`` must return a jitted decode callable taking
+    ``*args``; the per-call prefill cost cancels between the ``max_new``
+    and ``short_new`` walls. Returns ``(compile_s, full_wall_s, step_ms,
+    steps_tok_per_s)`` — the last two are None when the measured
+    difference is non-positive (noise floor), so callers never divide by
+    a negative interval. One definition for every sweep script; bench.py
+    inlines the same pattern on purpose (it stays import-free of
+    scripts/).
+    """
+    import time
+
+    walls = {}
+    compile_s = None
+    for n_new in (max_new, short_new):
+        fn = make_fn(n_new)
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        if compile_s is None:
+            compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            gen = fn(*args)
+        np.asarray(gen)
+        walls[n_new] = (time.perf_counter() - t0) / reps
+    if walls[max_new] <= walls[short_new]:
+        return compile_s, walls[max_new], None, None
+    step_ms = (walls[max_new] - walls[short_new]) / (max_new - short_new) * 1e3
+    return compile_s, walls[max_new], step_ms, batch * 1e3 / step_ms

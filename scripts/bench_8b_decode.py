@@ -12,13 +12,11 @@ Run: python scripts/bench_8b_decode.py [bits ...]   (default: 8 4)
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from _workload import make_workload
+from _workload import make_workload, time_decode_steps
 
 from tst.models.decode import greedy_decode, layer_loop_for
 from tst.models.decoder import init_params, spec_by_name
@@ -45,33 +43,25 @@ def main():
         params = init_params(jax.random.key(0), spec8, quantize=True,
                              bits=bits)
         base_gb = quantized_bytes(params) / 1e9
-        fn = jax.jit(lambda prm, t, pl_: greedy_decode(
-            prm, t, pl_, MAX_NEW, spec8, use_pallas=True, layer_loop=loop))
-        t0 = time.perf_counter()
-        np.asarray(fn(params, dtoks, dlen))
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            gen = fn(params, dtoks, dlen)
-        np.asarray(gen)
-        dt = (time.perf_counter() - t0) / REPS
-        fn_s = jax.jit(lambda prm, t, pl_: greedy_decode(
-            prm, t, pl_, SHORT_NEW, spec8, use_pallas=True, layer_loop=loop))
-        np.asarray(fn_s(params, dtoks, dlen))
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            gen = fn_s(params, dtoks, dlen)
-        np.asarray(gen)
-        dt_s = (time.perf_counter() - t0) / REPS
-        step_ms = (dt - dt_s) / (MAX_NEW - SHORT_NEW) * 1e3
-        steps_rate = B * 1e3 / step_ms if step_ms > 0 else float("nan")
-        # effective HBM rate implied by reading the base once per step
-        gbps = base_gb / (step_ms / 1e3) if step_ms > 0 else float("nan")
+
+        def make_fn(n_new, _loop=loop):
+            return jax.jit(lambda prm, t, pl_: greedy_decode(
+                prm, t, pl_, n_new, spec8, use_pallas=True,
+                layer_loop=_loop))
+
+        compile_s, dt, step_ms, steps_rate = time_decode_steps(
+            make_fn, (params, dtoks, dlen), B,
+            max_new=MAX_NEW, short_new=SHORT_NEW, reps=REPS)
+        if step_ms is None:
+            step_ms = steps_rate = gbps = float("nan")
+        else:
+            # effective HBM rate implied by reading the base once per step
+            gbps = base_gb / (step_ms / 1e3)
         print(f"{bits:>4} {base_gb:>7.2f} {compile_s:>9.1f} "
               f"{B * MAX_NEW / dt:>8.1f} {step_ms:>8.2f} {steps_rate:>11.1f} "
               f"{gbps:>12.1f}")
         sys.stdout.flush()
-        del params, fn, fn_s
+        del params
 
 
 if __name__ == "__main__":

@@ -12,18 +12,15 @@ Run: python scripts/sweep_int4_pipeline.py [B ...]   (default: 16 32)
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import numpy as np
 
-from _workload import make_workload
+from _workload import make_workload, time_decode_steps
 
 from tst.kernels import quant_matmul as qm
 from tst.models.decode import greedy_decode, layer_loop_for
 from tst.models.decoder import init_params, spec_by_name
-
-MAX_NEW, SHORT_NEW, REPS = 16, 4, 3
 
 
 def main():
@@ -44,22 +41,18 @@ def main():
         dlen = w.pos[rows] + 1
         for pipe in (False, True):
             qm.PIPELINE = pipe
-            walls = {}
-            for max_new in (MAX_NEW, SHORT_NEW):
-                fn = jax.jit(lambda prm, t, pl_, _n=max_new: greedy_decode(
-                    prm, t, pl_, _n, spec8, use_pallas=True,
-                    layer_loop=loop))
-                t0 = time.perf_counter()
-                np.asarray(fn(params, dtoks, dlen))
-                compile_s = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                for _ in range(REPS):
-                    gen = fn(params, dtoks, dlen)
-                np.asarray(gen)
-                walls[max_new] = (time.perf_counter() - t0) / REPS
-            step_ms = (walls[MAX_NEW] - walls[SHORT_NEW]) / (
-                MAX_NEW - SHORT_NEW) * 1e3
-            steps_tok = b / (step_ms / 1e3)
+
+            def make_fn(n_new, _loop=loop):
+                return jax.jit(lambda prm, t, pl_: greedy_decode(
+                    prm, t, pl_, n_new, spec8, use_pallas=True,
+                    layer_loop=_loop))
+
+            compile_s, _, step_ms, steps_tok = time_decode_steps(
+                make_fn, (params, dtoks, dlen), b)
+            if step_ms is None:
+                print(f"{b:>3} {str(pipe):>5} {compile_s:>9.1f} "
+                      f"{'n/a (noise)':>8}", flush=True)
+                continue
             print(f"{b:>3} {str(pipe):>5} {compile_s:>9.1f} {step_ms:>8.2f} "
                   f"{steps_tok:>11.0f}", flush=True)
 

@@ -240,7 +240,8 @@ class TestInt4Kernel:
                         jnp.float32)
         ref = np.asarray(qdot(y, leaf, jnp.float32))
         got = np.asarray(qm.int4_matmul(y, leaf["q"], leaf["scale"]))
-        # the kernel reassociates (y@lo = y@byte - 16*y@hi), so bit equality
+        # the kernel reassociates the dequant chain differently than qdot
+        # (per-block accumulation order, fused scale folding), so bit equality
         # is not expected — only float noise
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 

@@ -159,13 +159,21 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
             from tst.diagnose.rf import run_rf_diagnostic
             from tst.eval.parity import spearman
 
-            rf_d = run_rf_diagnostic(
-                sub, k=cfg.data.k, seed=cfg.data.seed,
-                n_estimators=cfg.rf.n_estimators, max_depth=cfg.rf.max_depth,
-                backend="sklearn", score_rule=cfg.rf.score_rule)
-            report["rf_sft_spearman"] = round(
-                float(spearman(rf_d.s_x, last_sx[scored])), 4)
-            report["rf_blind_accuracy"] = round(float(rf_d.blind_accuracy), 4)
+            # optional parity statistic — never let it take down the run's
+            # artifacts: heavy pruning can leave too few MCQ rows per fold
+            # and run_rf_diagnostic raises ('no MCQ samples to diagnose')
+            try:
+                rf_d = run_rf_diagnostic(
+                    sub, k=cfg.data.k, seed=cfg.data.seed,
+                    n_estimators=cfg.rf.n_estimators,
+                    max_depth=cfg.rf.max_depth,
+                    backend="sklearn", score_rule=cfg.rf.score_rule)
+                report["rf_sft_spearman"] = round(
+                    float(spearman(rf_d.s_x, last_sx[scored])), 4)
+                report["rf_blind_accuracy"] = round(
+                    float(rf_d.blind_accuracy), 4)
+            except ValueError as e:
+                report["rf_cross_check_skipped"] = str(e)
     outputs.write_debiased_split(cfg.out_dir, ds, alive,
                                  audit={"rounds": audit, "config": cfg.to_json()})
     outputs.write_sx_table(cfg.out_dir, ds, last_sx,

@@ -121,10 +121,12 @@ def _quantize_leaf_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         q = q.reshape(n_in, n_out)
         # planar nibble pack along out: col j → low nibble, j + out/2 → high.
         # The low nibble is stored BIASED (+8, unsigned in [1, 15]) and the
-        # high signed, so byte == 16*hi + lo_biased as a plain int8 value:
-        # the decode kernel recovers hi with one floor-divide and gets the
-        # low-half matmul free via y@lo = y@byte - 16*(y@hi), with the -8
-        # bias folded into an output-size correction (quant_matmul.py).
+        # high signed, so byte == 16*hi + lo_biased as a plain int8 value —
+        # the bias keeps the low nibble non-negative so adding it cannot
+        # carry into the high nibble's bits. The decode kernel's unpack is
+        # then a short f32 chain with no shift ops (Mosaic cannot legalize
+        # vector int8 shifts): hi = floor(byte/16), lo = byte - 16*hi - 8
+        # (quant_matmul.py), and XLA's qdot path fuses the same chain.
         packed = ((q[:, n_out // 2:] << 4)
                   + (q[:, : n_out // 2] + 8)).astype(jnp.int8)
         return packed, scale.astype(jnp.float32)
