@@ -224,15 +224,19 @@ def main() -> None:
                 "compile_s": compile8_s,
             }
             del lora8, opt8, compiled8
-            # north-star fold count at 8B on the SAME single chip (k=5 needs
-            # full remat — dots-remat activations exceed the ~7 GB left over
-            # the int8 base). The reference's per-fold jobs cannot hold even
-            # ONE bf16 replica here. Nested try: a k=5 failure must not
-            # discard the already-collected k=2 figures, and params8 must be
-            # freed either way so later legs aren't starved of HBM.
+            # north-star fold count at 8B on the SAME single chip. attn
+            # remat (save flash residuals, recompute the rest) fits at k=5
+            # and beats full remat 8.53 vs 8.15 samples/s; dots-remat
+            # activations exceed the ~7 GB left over the int8 base, and the
+            # batch sweep B=1..4 is flat (~8.0-8.3 — MXU-saturated), so B=1
+            # is the point (scripts/sweep_8b_k5_batch.py). The reference's
+            # per-fold jobs cannot hold even ONE bf16 replica here. Nested
+            # try: a k=5 failure must not discard the already-collected k=2
+            # figures, and params8 must be freed either way so later legs
+            # aren't starved of HBM.
             try:
                 tr5 = FoldTrainer(spec8, lspec8, k=5, lr=1e-4, total_steps=10,
-                                  use_pallas=True, remat=True, t_max=t_max)
+                                  use_pallas=True, remat="attn", t_max=t_max)
                 lora5, opt5 = tr5.init_state(jax.random.key(1))
                 b5 = make_fold_batches(fold_id, 5, 1, epochs=5, seed=0)
                 for t in range(2):
