@@ -96,8 +96,8 @@ def _pick_block(s: int, target: int = 1024) -> int:
 # ───────────────────────────── forward ─────────────────────────────
 
 
-def _fwd_kernel_oneshot(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                        *, sm_scale, causal, block_q, block_k, pos_mod):
+def _fwd_kernel_oneshot(*refs, sm_scale, causal, block_q, block_k, pos_mod,
+                        has_seg=False):
     """Single-KV-tile forward: plain softmax, no online statistics.
 
     When the whole KV sequence fits one tile (the folded-GQA regime at
@@ -105,6 +105,10 @@ def _fwd_kernel_oneshot(q_ref, k_ref, v_ref, o_ref, lse_ref,
     accumulators, per-tile rescaling, init/store grid phases — is pure
     overhead; this kernel computes max/exp/sum/PV in one pass.
     """
+    if has_seg:
+        q_ref, k_ref, v_ref, seg_ref, o_ref, lse_ref = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref), seg_ref = refs, None
     q_idx = pl.program_id(2)
     q = q_ref[0, 0]  # [bq, d]
     k = k_ref[0, 0]  # [bk, d]
@@ -117,7 +121,8 @@ def _fwd_kernel_oneshot(q_ref, k_ref, v_ref, o_ref, lse_ref,
     if causal:
         rows = _row_positions(block_q, block_k, q_idx, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(cols <= rows, s, jnp.asarray(DEFAULT_MASK_VALUE, chain_dtype))
+        s = _causal_seg_where(s, rows, cols, seg_ref,
+                              jnp.asarray(DEFAULT_MASK_VALUE, chain_dtype))
     m = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
@@ -149,8 +154,51 @@ def _row_positions(block_q, block_k, q_idx, pos_mod):
     return rows
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, sm_scale, causal, block_q, block_k, kv_blocks, pos_mod):
+#: max packed samples per row (tst.data.packing). Static kernel loop bound:
+#: the segment mask reads MAX_SEGS scalars per tile from the starts tile.
+MAX_SEGS = 8
+
+#: huge sentinel for unused start slots (never <= any real position)
+SEG_PAD = np.int32(1 << 30)
+
+
+def _seg_start_vec(seg_ref, rows1):
+    """Per-q-row segment start [bq, 1] from the per-batch starts tile.
+
+    ``seg_ref`` block is [1, 8, MAX_SEGS_LANES] int32 (sublane-replicated;
+    starts at [0, 0, j], unused slots = SEG_PAD). ``rows1`` [bq, 1] holds
+    each row's sequence position; its segment start is the largest start
+    <= position — a static MAX_SEGS-iteration max-chain of scalar compares
+    (zero HBM traffic vs streaming a per-position [S] vector per tile).
+    """
+    start = jnp.zeros_like(rows1)
+    for j in range(MAX_SEGS):
+        sj = seg_ref[0, 0, j]
+        start = jnp.where(sj <= rows1, jnp.maximum(start, sj), start)
+    return start
+
+
+def _causal_seg_where(s, rows, cols, seg_ref, mask_value):
+    """Apply causal (+ optional packed-segment) masking to a logits tile.
+
+    rows/cols: [bq, bk] int32 sequence positions of the tile's q rows and
+    kv columns. Packed rows restrict attention to the query's own segment:
+    col >= segment_start(row) — combined with causality that equals
+    "same segment and not in the future" (segments are contiguous).
+    """
+    ok = cols <= rows
+    if seg_ref is not None:
+        ok = jnp.logical_and(ok, cols >= _seg_start_vec(seg_ref, rows[:, :1]))
+    return jnp.where(ok, s, mask_value)
+
+
+def _fwd_kernel(*refs, sm_scale, causal, block_q, block_k, kv_blocks,
+                pos_mod, has_seg=False):
+    if has_seg:
+        q_ref, k_ref, v_ref, seg_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr), seg_ref = refs, None
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
 
@@ -176,7 +224,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         if causal:
             rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
-            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            s = _causal_seg_where(s, rows, cols, seg_ref, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]  # [bq, 1] f32
         l_prev = l_scr[...]
@@ -269,10 +317,14 @@ def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
 # ───────────────────────────── backward ─────────────────────────────
 
 
-def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                           dq_ref, *, sm_scale, causal, block_q, block_k,
-                           pos_mod):
+def _bwd_dq_kernel_oneshot(*refs, sm_scale, causal, block_q, block_k,
+                           pos_mod, has_seg=False):
     """dQ with the whole KV in one tile: no scratch accumulator/phases."""
+    if has_seg:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg_ref, dq_ref = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dq_ref), seg_ref = refs, None
     q_idx = pl.program_id(2)
     q = q_ref[0, 0]
     k = k_ref[0, 0]
@@ -286,7 +338,7 @@ def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     if causal:
         rows = _row_positions(block_q, block_k, q_idx, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+        s = _causal_seg_where(s, rows, cols, seg_ref, DEFAULT_MASK_VALUE)
     p = jnp.exp(s - lse)
     # bf16 operands + f32 accumulation: identical products to the
     # upcast-f32 matmul (inputs are already bf16) at full MXU rate
@@ -300,10 +352,14 @@ def _bwd_dq_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     ).astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                            dk_ref, dv_ref, *, sm_scale, causal, block_q,
-                            block_k, pos_mod):
+def _bwd_dkv_kernel_oneshot(*refs, sm_scale, causal, block_q, block_k,
+                            pos_mod, has_seg=False):
     """dK/dV with all q rows in one tile: no scratch accumulators/phases."""
+    if has_seg:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg_ref, dk_ref, dv_ref = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref), seg_ref = refs, None
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -316,7 +372,7 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     if causal:
         rows = _row_positions(block_q, block_k, 0, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+        s = _causal_seg_where(s, rows, cols, seg_ref, DEFAULT_MASK_VALUE)
     p = jnp.exp(s - lse)
     dv_ref[0, 0] = jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -333,10 +389,8 @@ def _bwd_dkv_kernel_oneshot(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _bwd_fused_nolse_kernel(q_ref, k_ref, v_ref, do_ref,
-                            dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                            *, sm_scale, causal, block_q, block_k, q_blocks,
-                            pos_mod):
+def _bwd_fused_nolse_kernel(*refs, sm_scale, causal, block_q, block_k,
+                            q_blocks, pos_mod, has_seg=False):
     """Self-contained fused dQ/dK/dV: needs ONLY (q, k, v, do).
 
     With the whole KV in one tile, each row tile sees its row's full
@@ -348,6 +402,11 @@ def _bwd_fused_nolse_kernel(q_ref, k_ref, v_ref, do_ref,
     re-run (228 µs/layer under "dots") and the separate di/lse traffic
     disappear.
     """
+    if has_seg:
+        q_ref, k_ref, v_ref, do_ref, seg_ref, dq_ref, dk_ref, dv_ref, dk_scr, dv_scr = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+         dk_scr, dv_scr), seg_ref = refs, None
     q_idx = pl.program_id(2)
 
     @pl.when(q_idx == 0)
@@ -365,7 +424,7 @@ def _bwd_fused_nolse_kernel(q_ref, k_ref, v_ref, do_ref,
     if causal:
         rows = _row_positions(block_q, block_k, q_idx, pos_mod)
         cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+        s = _causal_seg_where(s, rows, cols, seg_ref, DEFAULT_MASK_VALUE)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     l_inv = 1.0 / jnp.sum(e, axis=1, keepdims=True)
@@ -390,8 +449,13 @@ def _bwd_fused_nolse_kernel(q_ref, k_ref, v_ref, do_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
-                   *, sm_scale, causal, block_q, block_k, kv_blocks, pos_mod):
+def _bwd_dq_kernel(*refs, sm_scale, causal, block_q, block_k, kv_blocks,
+                   pos_mod, has_seg=False):
+    if has_seg:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg_ref, dq_ref, dq_scr = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dq_ref, dq_scr), seg_ref = refs, None
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
 
@@ -417,7 +481,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
         if causal:
             rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
-            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            s = _causal_seg_where(s, rows, cols, seg_ref, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # normalized probs [bq, bk]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [bq, bk]
