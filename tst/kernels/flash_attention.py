@@ -158,8 +158,40 @@ def _row_positions(block_q, block_k, q_idx, pos_mod):
 #: the segment mask reads MAX_SEGS scalars per tile from the starts tile.
 MAX_SEGS = 8
 
+#: lane width of the starts tile (TPU last-dim alignment); lanes beyond the
+#: real starts hold SEG_PAD and are never read by the MAX_SEGS-bounded loop.
+SEG_LANES = 128
+
 #: huge sentinel for unused start slots (never <= any real position)
 SEG_PAD = np.int32(1 << 30)
+
+
+def seg_tile(seg_starts: jnp.ndarray) -> jnp.ndarray:
+    """[B, n_segs] per-row segment starts → the kernels' [B, 8, SEG_LANES]
+    int32 VMEM tile (sublane-replicated, SEG_PAD-filled unused lanes).
+
+    ``seg_starts`` rows are ascending sample offsets within a packed
+    sequence (tst.data.packing), first entry 0, unused slots >= SEG_PAD.
+    """
+    seg = jnp.asarray(seg_starts, jnp.int32)
+    b, n = seg.shape
+    if n > MAX_SEGS:
+        raise ValueError(
+            f"{n} segment starts > MAX_SEGS={MAX_SEGS} — the kernel's static "
+            f"mask loop reads only the first {MAX_SEGS} lanes")
+    row = jnp.concatenate(
+        [seg, jnp.full((b, SEG_LANES - n), SEG_PAD, jnp.int32)], axis=1)
+    return jnp.broadcast_to(row[:, None, :], (b, 8, SEG_LANES))
+
+
+def _seg_spec(rank_extra: int):
+    """BlockSpec for the starts tile: one [1, 8, SEG_LANES] block per batch,
+    invariant over the remaining ``rank_extra`` grid axes."""
+    if rank_extra == 1:
+        return pl.BlockSpec((1, 8, SEG_LANES), lambda bi, hi: (bi, 0, 0))
+    if rank_extra == 2:
+        return pl.BlockSpec((1, 8, SEG_LANES), lambda bi, hi, qi: (bi, 0, 0))
+    return pl.BlockSpec((1, 8, SEG_LANES), lambda bi, hi, qi, ki: (bi, 0, 0))
 
 
 def _seg_start_vec(seg_ref, rows1):
@@ -249,24 +281,30 @@ def _fwd_kernel(*refs, sm_scale, causal, block_q, block_k, kv_blocks,
         lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
 
-def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
+def _flash_fwd(q, k, v, seg, sm_scale, causal, block_q, block_k,
                pos_mod=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     b, h, s, d = q.shape
     kv_heads = k.shape[1]
     groups = h // kv_heads
     kv_s = k.shape[2]
+    has_seg = seg is not None
+    operands = (q, k, v, seg) if has_seg else (q, k, v)
     if kv_s == block_k:
         # whole-KV tiles: the scratch-free one-shot kernel
+        in_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+        ]
+        if has_seg:
+            in_specs.append(_seg_spec(2))
         o, lse = pl.pallas_call(
             functools.partial(_fwd_kernel_oneshot, sm_scale=sm_scale,
                               causal=causal, block_q=block_q,
-                              block_k=block_k, pos_mod=pos_mod),
+                              block_k=block_k, pos_mod=pos_mod,
+                              has_seg=has_seg),
             grid=(b, h, s // block_q),
-            in_specs=[
-                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
                 pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
@@ -277,22 +315,25 @@ def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
             ],
             compiler_params=_compiler_params(("parallel", "parallel", "parallel")),
             interpret=_INTERPRET,
-        )(q, k, v)
+        )(*operands)
         return o, lse
     grid = (b, h, s // block_q, kv_s // block_k)
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal,
         block_q=block_q, block_k=block_k, kv_blocks=kv_s // block_k,
-        pos_mod=pos_mod,
+        pos_mod=pos_mod, has_seg=has_seg,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+    ]
+    if has_seg:
+        in_specs.append(_seg_spec(3))
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             # TPU block constraint: last two dims must be (8k, 128k) —
@@ -310,7 +351,7 @@ def _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
         ],
         compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
-    )(q, k, v)
+    )(*operands)
     return o, lse
 
 
@@ -494,9 +535,14 @@ def _bwd_dq_kernel(*refs, sm_scale, causal, block_q, block_k, kv_blocks,
         dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-                    dk_scr, dv_scr, *, sm_scale, causal, block_q, block_k,
-                    q_blocks, pos_mod):
+def _bwd_dkv_kernel(*refs, sm_scale, causal, block_q, block_k,
+                    q_blocks, pos_mod, has_seg=False):
+    if has_seg:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, seg_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+         dk_scr, dv_scr), seg_ref = refs, None
     q_idx = pl.program_id(3)
     kv_idx = pl.program_id(2)
 
@@ -523,7 +569,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         if causal:
             rows = _row_positions(block_q, block_k, q_idx, pos_mod)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
-            s = jnp.where(cols <= rows, s, DEFAULT_MASK_VALUE)
+            s = _causal_seg_where(s, rows, cols, seg_ref, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # [bq, bk]
         # dv += p^T @ do
         dv_scr[...] += jax.lax.dot_general(
@@ -546,7 +592,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused(q, k, v, do, sm_scale, causal, block_q, block_k,
+def _flash_bwd_fused(q, k, v, seg, do, sm_scale, causal, block_q, block_k,
                      pos_mod=None, bwd_block_q=None):
     """Self-contained fused backward for the single-KV-tile regime: ONE
     kernel computes dq/dk/dv from (q, k, v, do) alone — no saved o/lse, no
@@ -557,20 +603,27 @@ def _flash_bwd_fused(q, k, v, do, sm_scale, causal, block_q, block_k,
     kv_heads = k.shape[1]
     groups = h // kv_heads
     kv_s = k.shape[2]
+    has_seg = seg is not None
     bq_f = bwd_block_q or pos_mod or block_q
     if s % bq_f:
         bq_f = block_q
+    in_specs = [
+        pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+        pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+    ]
+    operands = (q, k, v, do)
+    if has_seg:
+        in_specs.append(_seg_spec(2))
+        operands = (q, k, v, do, seg)
     dq, dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_fused_nolse_kernel, sm_scale=sm_scale,
                           causal=causal, block_q=bq_f, block_k=block_k,
-                          q_blocks=s // bq_f, pos_mod=pos_mod),
+                          q_blocks=s // bq_f, pos_mod=pos_mod,
+                          has_seg=has_seg),
         grid=(b, h, s // bq_f),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-            pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, bq_f, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
@@ -588,58 +641,71 @@ def _flash_bwd_fused(q, k, v, do, sm_scale, causal, block_q, block_k,
         compiler_params=_compiler_params(
             ("parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
-    )(q, k, v, do)
+    )(*operands)
     dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
     dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
     return dq, dk, dv
 
 
-def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
+def _flash_bwd(q, k, v, seg, o, lse, do, sm_scale, causal, block_q, block_k,
                pos_mod=None, bwd_block_q=None):
     block_q = bwd_block_q or block_q
     b, h, s, d = q.shape
     kv_heads = k.shape[1]
     groups = h // kv_heads
     kv_s = k.shape[2]
+    has_seg = seg is not None
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
     di = jnp.broadcast_to(di[:, :, None, :], (b, h, 8, s))  # sublane-replicated
 
     if kv_s == block_k:
         # whole-KV tiles (folded regime): scratch-free one-shot backward
+        in_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
+        ]
+        operands = (q, k, v, do, lse, di)
+        if has_seg:
+            in_specs.append(_seg_spec(2))
+            operands = (q, k, v, do, lse, di, seg)
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel_oneshot, sm_scale=sm_scale,
                               causal=causal, block_q=block_q,
-                              block_k=block_k, pos_mod=pos_mod),
+                              block_k=block_k, pos_mod=pos_mod,
+                              has_seg=has_seg),
             grid=(b, h, s // block_q),
-            in_specs=[
-                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi: (bi, hi // groups, 0, 0)),
-                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-                pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
-                pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi: (bi, hi, 0, qi)),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
             compiler_params=_compiler_params(("parallel", "parallel", "parallel")),
             interpret=_INTERPRET,
-        )(q, k, v, do, lse, di)
+        )(*operands)
         if s == block_q:
             # single q tile as well: one-shot dK/dV with the group-sum
             # inside the [s]-contraction
+            in_specs = [
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi // groups, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi // groups, 0, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda bi, hi: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi: (bi, hi, 0, 0)),
+            ]
+            operands = (q, k, v, do, lse, di)
+            if has_seg:
+                in_specs.append(_seg_spec(1))
+                operands = (q, k, v, do, lse, di, seg)
             dk_h, dv_h = pl.pallas_call(
                 functools.partial(_bwd_dkv_kernel_oneshot, sm_scale=sm_scale,
                                   causal=causal, block_q=block_q,
-                                  block_k=block_k, pos_mod=pos_mod),
+                                  block_k=block_k, pos_mod=pos_mod,
+                                  has_seg=has_seg),
                 grid=(b, h),
-                in_specs=[
-                    pl.BlockSpec((1, 1, block_q, d), lambda bi, hi: (bi, hi, 0, 0)),
-                    pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi // groups, 0, 0)),
-                    pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi // groups, 0, 0)),
-                    pl.BlockSpec((1, 1, block_q, d), lambda bi, hi: (bi, hi, 0, 0)),
-                    pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi: (bi, hi, 0, 0)),
-                    pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi: (bi, hi, 0, 0)),
-                ],
+                in_specs=in_specs,
                 out_specs=[
                     pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi, 0, 0)),
                     pl.BlockSpec((1, 1, block_k, d), lambda bi, hi: (bi, hi, 0, 0)),
@@ -650,58 +716,71 @@ def _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q, block_k,
                 ],
                 compiler_params=_compiler_params(("parallel", "parallel")),
                 interpret=_INTERPRET,
-            )(q, k, v, do, lse, di)
+            )(*operands)
             dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
             dv = dv_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(v.dtype)
             return dq, dk, dv
-        return dq, *_dkv_tiled(q, k, v, do, lse, di, sm_scale, causal,
+        return dq, *_dkv_tiled(q, k, v, seg, do, lse, di, sm_scale, causal,
                                block_q, block_k, pos_mod, groups)
 
     # dQ: grid (b, h, q_blocks, kv_blocks), kv sequential
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+    ]
+    operands = (q, k, v, do, lse, di)
+    if has_seg:
+        in_specs.append(_seg_spec(3))
+        operands = (q, k, v, do, lse, di, seg)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k,
-                          kv_blocks=kv_s // block_k, pos_mod=pos_mod),
+                          kv_blocks=kv_s // block_k, pos_mod=pos_mod,
+                          has_seg=has_seg),
         grid=(b, h, s // block_q, kv_s // block_k),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // groups, ki, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
-    )(q, k, v, do, lse, di)
+    )(*operands)
 
-    return dq, *_dkv_tiled(q, k, v, do, lse, di, sm_scale, causal, block_q,
-                           block_k, pos_mod, groups)
+    return dq, *_dkv_tiled(q, k, v, seg, do, lse, di, sm_scale, causal,
+                           block_q, block_k, pos_mod, groups)
 
 
-def _dkv_tiled(q, k, v, do, lse, di, sm_scale, causal, block_q, block_k,
+def _dkv_tiled(q, k, v, seg, do, lse, di, sm_scale, causal, block_q, block_k,
                pos_mod, groups):
     """dK/dV at q-head granularity: grid (b, h, kv_blocks, q_blocks), q
     sequential; per-q-head results are group-summed down to kv heads."""
     b, h, s, d = q.shape
     kv_heads = k.shape[1]
     kv_s = k.shape[2]
+    has_seg = seg is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // groups, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // groups, ki, 0)),
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+        pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+    ]
+    operands = (q, k, v, do, lse, di)
+    if has_seg:
+        in_specs.append(_seg_spec(3))
+        operands = (q, k, v, do, lse, di, seg)
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
                           block_q=block_q, block_k=block_k,
-                          q_blocks=s // block_q, pos_mod=pos_mod),
+                          q_blocks=s // block_q, pos_mod=pos_mod,
+                          has_seg=has_seg),
         grid=(b, h, kv_s // block_k, s // block_q),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // groups, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi // groups, ki, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
-            pl.BlockSpec((1, 1, 8, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
@@ -716,7 +795,7 @@ def _dkv_tiled(q, k, v, do, lse, di, sm_scale, causal, block_q, block_k,
         ],
         compiler_params=_compiler_params(("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_INTERPRET,
-    )(q, k, v, do, lse, di)
+    )(*operands)
 
     # group-sum per-q-head dk/dv down to kv heads
     dk = dk_h.reshape(b, kv_heads, groups, kv_s, d).sum(axis=2).astype(k.dtype)
@@ -727,14 +806,15 @@ def _dkv_tiled(q, k, v, do, lse, di, sm_scale, causal, block_q, block_k,
 # ───────────────────────────── public API ─────────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, seg, sm_scale, causal, block_q, block_k, pos_mod,
            bwd_block_q=None):
-    o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
+    o, _ = _flash_fwd(q, k, v, seg, sm_scale, causal, block_q, block_k,
+                      pos_mod)
     return o
 
 
-def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
+def _flash_vjp_fwd(q, k, v, seg, sm_scale, causal, block_q, block_k, pos_mod,
                    bwd_block_q=None):
     if k.shape[2] == block_k and FUSED_BWD:
         # single-KV-tile regime: the self-contained fused backward derives
@@ -746,13 +826,14 @@ def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
         # OUTER recompute re-runs this kernel just to rebuild o for the ops
         # downstream of attention. (No lse name: the fused bwd never reads
         # it, and an unsaveable name would make policies stash dead bytes.)
-        o, _ = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k,
+        o, _ = _flash_fwd(q, k, v, seg, sm_scale, causal, block_q, block_k,
                           pos_mod)
         from jax.ad_checkpoint import checkpoint_name
 
         o = checkpoint_name(o, "flash_out")
-        return o, (q, k, v)
-    o, lse = _flash_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod)
+        return o, (q, k, v, seg)
+    o, lse = _flash_fwd(q, k, v, seg, sm_scale, causal, block_q, block_k,
+                        pos_mod)
     # Name the residuals so remat policies can SAVE them: under plain
     # "dots"-style policies the pallas output is not a dot_general, so
     # jax.checkpoint re-runs this whole forward kernel during the backward
@@ -764,19 +845,21 @@ def _flash_vjp_fwd(q, k, v, sm_scale, causal, block_q, block_k, pos_mod,
 
     o = checkpoint_name(o, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, seg, o, lse)
 
 
 def _flash_vjp_bwd(sm_scale, causal, block_q, block_k, pos_mod, bwd_block_q,
                    res, do):
-    if len(res) == 3:
-        q, k, v = res
-        return _flash_bwd_fused(q, k, v, do, sm_scale, causal, block_q,
-                                block_k, pos_mod, bwd_block_q)
-    q, k, v, o, lse = res
-    dq, dk, dv = _flash_bwd(q, k, v, o, lse, do, sm_scale, causal, block_q,
-                            block_k, pos_mod, bwd_block_q)
-    return dq, dk, dv
+    # the starts tile is integer-typed: its cotangent is None (symbolic zero)
+    if len(res) == 4:
+        q, k, v, seg = res
+        dq, dk, dv = _flash_bwd_fused(q, k, v, seg, do, sm_scale, causal,
+                                      block_q, block_k, pos_mod, bwd_block_q)
+        return dq, dk, dv, None
+    q, k, v, seg, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, seg, o, lse, do, sm_scale, causal,
+                            block_q, block_k, pos_mod, bwd_block_q)
+    return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
@@ -812,6 +895,7 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     fold: Optional[bool] = None,
+    seg_starts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Flash attention over model-layout tensors; returns [B, S, H, D].
 
@@ -826,12 +910,27 @@ def flash_attention(
       * **tiled** (long sequences / explicit blocks): the classic
         (batch, head, q_tile, kv_tile) grid with above-diagonal tile
         skipping.
+
+    ``seg_starts``: optional int32 [B, n_segs<=MAX_SEGS] ascending segment
+    start offsets for packed sequences (tst.data.packing; unused slots >=
+    SEG_PAD). Attention is confined to each query's own contiguous segment
+    — the packed-row equivalent of per-sample causal masks. Requires
+    ``causal=True`` (segments are an additional restriction of the causal
+    mask; a bidirectional packed mask is not implemented).
     """
     b, s, h, d = q.shape
     kv_heads = k.shape[2]
     groups = h // kv_heads
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(d))
+    seg = None
+    if seg_starts is not None:
+        if not causal:
+            raise ValueError("seg_starts (packed sequences) requires causal=True")
+        if seg_starts.shape[0] != b:
+            raise ValueError(
+                f"seg_starts batch {seg_starts.shape[0]} != q batch {b}")
+        seg = seg_tile(seg_starts)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -866,7 +965,7 @@ def flash_attention(
         if (groups * s) % bq_bwd:
             bq_bwd = bq
         qf, kernel_scale = _prescale(qf, sm_scale)
-        o = _flash(qf, kt, vt, kernel_scale, bool(causal),
+        o = _flash(qf, kt, vt, seg, kernel_scale, bool(causal),
                    int(bq), int(bk), int(s), int(bq_bwd))
         return o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
     bq = block_q or _pick_block(s)
@@ -878,7 +977,7 @@ def flash_attention(
             f"128-multiple (tst.data.tokenize does this)"
         )
     qt, kernel_scale = _prescale(qt, sm_scale)
-    o = _flash(qt, kt, vt, kernel_scale, bool(causal), int(bq), int(bk),
+    o = _flash(qt, kt, vt, seg, kernel_scale, bool(causal), int(bq), int(bk),
                None, None)
     return o.transpose(0, 2, 1, 3)
 
@@ -893,7 +992,27 @@ def _prescale(qt, sm_scale):
     return qt, float(sm_scale)
 
 
-def mha_reference(q, k, v, causal: bool = True, sm_scale: Optional[float] = None):
+def segment_starts_per_pos(seg_starts: jnp.ndarray, s: int) -> jnp.ndarray:
+    """[B, n_segs] ascending starts → [B, S] segment start of each position
+    (the largest start <= pos; positions before the first start get 0)."""
+    seg = jnp.asarray(seg_starts, jnp.int32)
+    pos = jnp.arange(s, dtype=jnp.int32)[None, :]  # [1, S]
+    le = seg[:, None, :] <= pos[:, :, None]  # [B, S, n_segs]
+    return jnp.max(jnp.where(le, seg[:, None, :], 0), axis=-1)
+
+
+def segment_mask(seg_starts: jnp.ndarray, s: int) -> jnp.ndarray:
+    """[B, S, S] bool causal-within-segment mask from packed-row starts:
+    ok[b, i, j] = j <= i AND j >= segment_start(i). The dense-XLA
+    equivalent of the kernels' seg tile (decoder fallback / references)."""
+    start = segment_starts_per_pos(seg_starts, s)  # [B, S]
+    rows = jnp.arange(s, dtype=jnp.int32)[:, None]  # [S, 1]
+    cols = jnp.arange(s, dtype=jnp.int32)[None, :]  # [1, S]
+    return (cols <= rows)[None] & (cols[None] >= start[:, :, None])
+
+
+def mha_reference(q, k, v, causal: bool = True, sm_scale: Optional[float] = None,
+                  seg_starts: Optional[jnp.ndarray] = None):
     """Dense XLA reference (same layout) for parity tests."""
     b, s, h, d = q.shape
     kv_heads = k.shape[2]
@@ -903,7 +1022,12 @@ def mha_reference(q, k, v, causal: bool = True, sm_scale: Optional[float] = None
     qg = q.reshape(b, s, kv_heads, groups, d)
     logits = jnp.einsum("bqkgd,bskd->bkgqs", qg, k, preferred_element_type=jnp.float32)
     logits = logits * sm_scale
-    if causal:
+    if seg_starts is not None:
+        if not causal:
+            raise ValueError("seg_starts requires causal=True")
+        mask = segment_mask(seg_starts, s)  # [B, S, S]
+        logits = jnp.where(mask[:, None, None], logits, -1e30)
+    elif causal:
         mask = jnp.tril(jnp.ones((s, s), bool))
         logits = jnp.where(mask[None, None, None], logits, -1e30)
     p = jax.nn.softmax(logits, axis=-1)
