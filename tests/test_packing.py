@@ -142,3 +142,216 @@ class TestSegmentedKernelParity:
                                    atol=2e-5, rtol=2e-5)
         np.testing.assert_allclose(np.asarray(packed[:, sa:]), np.asarray(ob),
                                    atol=2e-5, rtol=2e-5)
+
+
+# ───────────────────────── packer + model integration ─────────────────────────
+
+from tst.data.packing import (FoldPacked, pack_fold_datasets,  # noqa: E402
+                              make_packed_fold_batches, pack_rows)
+from tst.data.synthetic import make_synthetic_mcq  # noqa: E402
+from tst.data.tokenize import ByteTokenizer, tokenize_dataset  # noqa: E402
+from tst.models.decoder import apply_model, init_params, spec_by_name  # noqa: E402
+
+
+def _tiny_tb(n=12, seed=0, max_len=512):
+    ds = make_synthetic_mcq(n=n, bias_fraction=0.5, seed=seed)
+    return tokenize_dataset(ds, ByteTokenizer(), max_len=max_len)
+
+
+class TestPacker:
+    def test_pack_rows_roundtrip(self):
+        tb = _tiny_tb()
+        pb = pack_rows(tb, np.arange(tb.n), pack_len=1024)
+        assert pb.n_rows < tb.n  # actually packed something
+        assert int(pb.n_segs.sum()) == tb.n  # every sample placed once
+        seen = pb.sample_rows[pb.sample_rows >= 0]
+        assert sorted(seen.tolist()) == list(range(tb.n))
+        for i in range(pb.n_rows):
+            for j in range(int(pb.n_segs[i])):
+                row = int(pb.sample_rows[i, j])
+                off = int(pb.seg_starts[i, j])
+                ln = int(tb.lengths[row])
+                np.testing.assert_array_equal(
+                    pb.tokens[i, off:off + ln], tb.tokens[row, :ln])
+                np.testing.assert_array_equal(
+                    pb.loss_mask[i, off:off + ln], tb.loss_mask[row, :ln])
+                assert int(pb.answer_pos[i, j]) == off + int(tb.answer_pos[row])
+        # starts ascend; unused slots are SEG_PAD
+        for i in range(pb.n_rows):
+            ns = int(pb.n_segs[i])
+            starts = pb.seg_starts[i, :ns]
+            assert (np.diff(starts) > 0).all() or ns == 1
+            assert (pb.seg_starts[i, ns:] == fa.SEG_PAD).all()
+
+    def test_pack_len_too_small_rejected(self):
+        tb = _tiny_tb()
+        with pytest.raises(ValueError, match="exceeds pack_len"):
+            pack_rows(tb, np.arange(tb.n), pack_len=128)
+
+    def test_max_segs_respected(self):
+        tb = _tiny_tb()
+        pb = pack_rows(tb, np.arange(tb.n), pack_len=4096, max_segs=2)
+        assert int(pb.n_segs.max()) <= 2
+
+    def test_fold_packing_excludes_own_fold(self):
+        tb = _tiny_tb()
+        k = 3
+        fold_id = np.arange(tb.n) % k
+        fp = pack_fold_datasets(tb, fold_id, k, pack_len=1024)
+        assert isinstance(fp, FoldPacked) and fp.k == k
+        assert 0.5 < fp.fill_fraction <= 1.0
+        for f in range(k):
+            nr = int(fp.n_rows[f])
+            # only rows with a different fold id appear in fold f's pack
+            segs = fp.n_segs[f, :nr]
+            assert int(segs.sum()) == int((fold_id != f).sum())
+            # padding rows beyond nr carry no segments
+            assert (fp.n_segs[f, nr:] == 0).all()
+
+    def test_packed_batches_index_real_rows(self):
+        idx = make_packed_fold_batches(np.array([5, 3, 4]), batch_size=2,
+                                       epochs=2, seed=0)
+        assert idx.shape[1:] == (3, 2)
+        for f, nr in enumerate([5, 3, 4]):
+            assert idx[:, f].max() < nr
+
+
+class TestPackedModelParity:
+    def test_packed_forward_matches_per_sample(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        rng = np.random.default_rng(3)
+        la, lb = 100, 70
+        ta = rng.integers(1, 250, size=la).astype(np.int32)
+        tc = rng.integers(1, 250, size=lb).astype(np.int32)
+        packed = np.full((1, 256), 256, np.int32)  # pad_id
+        packed[0, :la] = ta
+        packed[0, la:la + lb] = tc
+        seg = jnp.asarray([[0, la] + [int(fa.SEG_PAD)] * 6], jnp.int32)
+        out = apply_model(params, jnp.asarray(packed), spec, seg_starts=seg)
+        # per-sample forwards at bucket lengths matching each sample
+        pa = np.full((1, 128), 256, np.int32)
+        pa[0, :la] = ta
+        oa = apply_model(params, jnp.asarray(pa), spec)
+        pb = np.full((1, 128), 256, np.int32)
+        pb[0, :lb] = tc
+        ob = apply_model(params, jnp.asarray(pb), spec)
+        np.testing.assert_allclose(np.asarray(out[0, :la]),
+                                   np.asarray(oa[0, :la]), atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out[0, la:la + lb]),
+                                   np.asarray(ob[0, :lb]), atol=2e-4, rtol=2e-4)
+
+    def test_packed_forward_matches_per_sample_pallas_interpret(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        rng = np.random.default_rng(4)
+        la, lb = 128, 128
+        ta = rng.integers(1, 250, size=la).astype(np.int32)
+        tc = rng.integers(1, 250, size=lb).astype(np.int32)
+        packed = np.concatenate([ta, tc])[None]
+        seg = jnp.asarray([[0, la] + [int(fa.SEG_PAD)] * 6], jnp.int32)
+        out = apply_model(params, jnp.asarray(packed), spec, seg_starts=seg,
+                          use_pallas=True)
+        ref = apply_model(params, jnp.asarray(packed), spec, seg_starts=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+
+from tst.models.lora import LoraSpec, init_lora  # noqa: E402
+from tst.train.sft import (FoldTrainer, sft_loss,  # noqa: E402
+                           sft_loss_window)
+
+
+def _packed_vs_flat_setup():
+    spec = spec_by_name("tiny", dtype=jnp.float32)
+    params = init_params(jax.random.key(0), spec)
+    lspec = LoraSpec(rank=4, alpha=8.0, targets=("q_proj", "v_proj"),
+                     dtype=jnp.float32)
+    lora = init_lora(jax.random.key(1), spec, lspec)
+    # make B nonzero so the adapter actually contributes to the loss/grads
+    lora = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.key(2), x.shape,
+                                               x.dtype), lora)
+    tb = _tiny_tb(n=8, max_len=256)
+    pb = pack_rows(tb, np.arange(tb.n), pack_len=512)
+    return spec, params, lspec, lora, tb, pb
+
+
+class TestPackedLossParity:
+    def test_full_loss_equal(self):
+        spec, params, lspec, lora, tb, pb = _packed_vs_flat_setup()
+        flat = sft_loss(params, lora, jnp.asarray(tb.tokens),
+                        jnp.asarray(tb.loss_mask), spec, lspec)
+        packed = sft_loss(params, lora, jnp.asarray(pb.tokens),
+                          jnp.asarray(pb.loss_mask), spec, lspec,
+                          seg_starts=jnp.asarray(pb.seg_starts))
+        np.testing.assert_allclose(float(packed), float(flat), rtol=2e-5)
+
+    def test_window_loss_equal(self):
+        spec, params, lspec, lora, tb, pb = _packed_vs_flat_setup()
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+        flat = sft_loss_window(params, lora, jnp.asarray(tb.tokens),
+                               jnp.asarray(tb.loss_mask),
+                               jnp.asarray(tb.answer_pos), t_max, spec, lspec)
+        packed = sft_loss_window(params, lora, jnp.asarray(pb.tokens),
+                                 jnp.asarray(pb.loss_mask),
+                                 jnp.asarray(pb.answer_pos), t_max, spec,
+                                 lspec, seg_starts=jnp.asarray(pb.seg_starts))
+        np.testing.assert_allclose(float(packed), float(flat), rtol=2e-5)
+
+    def test_window_grads_equal(self):
+        spec, params, lspec, lora, tb, pb = _packed_vs_flat_setup()
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+        gf = jax.grad(sft_loss_window, argnums=1)(
+            params, lora, jnp.asarray(tb.tokens), jnp.asarray(tb.loss_mask),
+            jnp.asarray(tb.answer_pos), t_max, spec, lspec)
+        gp = jax.grad(
+            lambda p, l: sft_loss_window(
+                p, l, jnp.asarray(pb.tokens), jnp.asarray(pb.loss_mask),
+                jnp.asarray(pb.answer_pos), t_max, spec, lspec,
+                seg_starts=jnp.asarray(pb.seg_starts)),
+            argnums=1)(params, lora)
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+
+class TestPackedTrainer:
+    def test_packed_training_learns(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        lspec = LoraSpec(rank=4, alpha=8.0, targets=("q_proj", "v_proj"),
+                         dtype=jnp.float32)
+        tb = _tiny_tb(n=12, max_len=256)
+        k = 3
+        fold_id = np.arange(tb.n) % k
+        fp = pack_fold_datasets(tb, fold_id, k, pack_len=512)
+        batches = make_packed_fold_batches(fp.n_rows, batch_size=2, epochs=4,
+                                           seed=0)
+        t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+        tr = FoldTrainer(spec, lspec, k, lr=5e-3,
+                         total_steps=batches.shape[0], t_max=t_max,
+                         packed=True)
+        lora, opt = tr.init_state(jax.random.key(1))
+        lora, opt, log = tr.fit(
+            params, lora, opt, jnp.asarray(fp.tokens),
+            jnp.asarray(fp.loss_mask), batches,
+            all_pos=jnp.asarray(fp.answer_pos),
+            all_segs=jnp.asarray(fp.seg_starts), n_segs=fp.n_segs,
+            log_every=1)
+        assert log.losses[-1] < log.losses[0]
+        # samples/s counts real segments, not packed rows
+        idx = np.asarray(batches)
+        fold_ax = np.arange(k)[None, :, None]
+        expect = int(fp.n_segs[fold_ax, idx].sum())
+        assert abs(log.samples_per_sec * log.wall_seconds - expect) < 1.0
+
+    def test_segs_without_packed_flag_rejected(self):
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=4, alpha=8.0, targets=("q_proj",),
+                         dtype=jnp.float32)
+        tr = FoldTrainer(spec, lspec, 2, total_steps=2)
+        with pytest.raises(ValueError, match="packed=True"):
+            tr.fit(None, None, None, jnp.zeros((2, 4), jnp.int32),
+                   jnp.zeros((2, 4)), np.zeros((1, 2, 1), np.int32),
+                   all_segs=jnp.zeros((2, 1, 8), jnp.int32))

@@ -256,11 +256,18 @@ def rope_tables(seq_len: int, d_head: int, theta: float,
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, S, H, dh]; rotate the two halves (HF non-interleaved layout)."""
+    """x: [B, S, H, dh]; rotate the two halves (HF non-interleaved layout).
+
+    cos/sin: [S, dh/2] shared tables, or [B, S, dh/2] per-row tables (packed
+    sequences gather them at per-segment-restarted positions)."""
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
-    c = cos[None, :, None, :].astype(x.dtype)
-    s = sin[None, :, None, :].astype(x.dtype)
+    if cos.ndim == 2:
+        c = cos[None, :, None, :].astype(x.dtype)
+        s = sin[None, :, None, :].astype(x.dtype)
+    else:
+        c = cos[:, :, None, :].astype(x.dtype)
+        s = sin[:, :, None, :].astype(x.dtype)
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
@@ -313,24 +320,27 @@ def _remat_policy(remat):
 
 
 def _dense_attention(q, k, v, causal_mask):
-    """XLA fallback attention. q: [B,S,H,dh]; k/v: [B,S,K,dh] (GQA)."""
+    """XLA fallback attention. q: [B,S,H,dh]; k/v: [B,S,K,dh] (GQA).
+    ``causal_mask``: [S, S] shared, or [B, S, S] per-row (packed segments)."""
     b, s, h, dh = q.shape
     kv_heads = k.shape[2]
     groups = h // kv_heads
     qg = q.reshape(b, s, kv_heads, groups, dh)
     scores = jnp.einsum("bqkgd,bskd->bkgqs", qg, k,
                         preferred_element_type=jnp.float32) / np.sqrt(dh)
-    scores = jnp.where(causal_mask[None, None, None, :, :], scores, -1e30)
+    mask = (causal_mask[None, None, None, :, :] if causal_mask.ndim == 2
+            else causal_mask[:, None, None, :, :])
+    scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v,
                      preferred_element_type=jnp.float32)
     return out.reshape(b, s, h, dh).astype(q.dtype)
 
 
-def _flash_attention(q, k, v):
+def _flash_attention(q, k, v, seg_starts=None):
     from tst.kernels.flash_attention import flash_attention
 
-    return flash_attention(q, k, v, causal=True)
+    return flash_attention(q, k, v, causal=True, seg_starts=seg_starts)
 
 
 #: layer-scan unroll factor (lax.scan unroll=). >1 gives XLA a window of
@@ -364,8 +374,15 @@ def apply_model(
     ring_mesh=None,
     ring_axis: str = "seq",
     lora_rng: Optional[jax.Array] = None,
+    seg_starts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Forward pass → logits f32 [B, S, V].
+
+    ``seg_starts``: optional int32 [B, n_segs] packed-sequence segment start
+    offsets (tst.data.packing; unused slots >= SEG_PAD). Attention is
+    confined to each token's own segment and RoPE positions restart at each
+    segment start, so a packed row is numerically a batch of independent
+    samples (tests/test_packing.py pins this).
 
     ``lora``: optional adapter pytree from tst.models.lora, applied inside
     the layer scan (stacked on the same leading layer axis).
@@ -383,7 +400,22 @@ def apply_model(
     b, s = tokens.shape
     x = embed_lookup(params, tokens, spec)  # [B, S, D]
     cos, sin = rope_tables(s, spec.d_head, spec.rope_theta, spec.rope_scaling)
-    causal = jnp.tril(jnp.ones((s, s), bool))
+    if seg_starts is not None:
+        if ring_mesh is not None and ring_mesh.shape.get(ring_axis, 1) > 1:
+            raise ValueError("packed sequences (seg_starts) and ring "
+                             "attention are mutually exclusive — packing is "
+                             "for short rows, the ring for long ones")
+        from tst.kernels.flash_attention import (segment_mask,
+                                                 segment_starts_per_pos)
+
+        seg_starts = jnp.asarray(seg_starts, jnp.int32)
+        # per-segment-restarted positions: RoPE sees each sample at offset 0
+        positions = (jnp.arange(s, dtype=jnp.int32)[None, :]
+                     - segment_starts_per_pos(seg_starts, s))  # [B, S]
+        cos, sin = cos[positions], sin[positions]  # [B, S, dh/2]
+        causal = segment_mask(seg_starts, s)  # [B, S, S]
+    else:
+        causal = jnp.tril(jnp.ones((s, s), bool))
 
     from tst.models.lora import apply_lora_delta  # circular-safe local import
 
@@ -431,7 +463,7 @@ def apply_model(
             attn = ring_attention(q, k, v, ring_mesh, seq_axis=ring_axis,
                                   causal=True)
         elif use_pallas:
-            attn = _flash_attention(q, k, v)
+            attn = _flash_attention(q, k, v, seg_starts=seg_starts)
         else:
             attn = _dense_attention(q, k, v, causal)
         attn = checkpoint_name(attn.reshape(b, s, spec.q_dim), "attn_out")

@@ -50,13 +50,25 @@ def sft_loss(
     ring_mesh=None,
     fused_mlp: bool = False,
     lora_rng=None,
+    seg_starts=None,
 ) -> jnp.ndarray:
-    """Prompt-masked causal-LM cross entropy (mean over target tokens)."""
+    """Prompt-masked causal-LM cross entropy (mean over target tokens).
+
+    ``seg_starts``: optional int32 [B, n_segs] packed-row segment starts
+    (tst.data.packing) — the loss is already packing-correct as-is because
+    the mask covers every segment's answer tokens; the starts only steer the
+    model's attention/positions. NB a packed batch normalizes over the UNION
+    of its samples' target tokens, identical to the same samples unpacked in
+    one batch (tests/test_packing.py pins this equality).
+    """
     logits = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
                          use_pallas=use_pallas, remat=remat,
                          ring_mesh=ring_mesh, fused_mlp=fused_mlp,
-                         lora_rng=lora_rng)  # [B, S, V] f32
+                         lora_rng=lora_rng, seg_starts=seg_starts)  # [B, S, V] f32
     labels = tokens[:, 1:]
+    # No cross-boundary term needs masking: a segment's first token is its
+    # BOS (loss_mask 0), so the shifted loss never pays for predicting one
+    # sample's start from another's end.
     w = loss_mask[:, 1:]
     lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
     gold_lp = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
@@ -68,7 +80,7 @@ def sft_loss_window(
     lora: Params,
     tokens: jnp.ndarray,  # int32 [B, S]
     loss_mask: jnp.ndarray,  # f32 [B, S]
-    answer_pos: jnp.ndarray,  # int32 [B] — last prompt-token index
+    answer_pos: jnp.ndarray,  # int32 [B] or [B, G] — last prompt-token index
     t_max: int,  # static: max target length in tokens
     spec: ModelSpec,
     lora_spec: LoraSpec,
@@ -77,6 +89,7 @@ def sft_loss_window(
     ring_mesh=None,
     fused_mlp: bool = False,
     lora_rng=None,
+    seg_starts=None,
 ) -> jnp.ndarray:
     """Same loss as :func:`sft_loss`, but the vocab projection runs only on
     the ``t_max``-token answer window instead of all S positions.
@@ -87,21 +100,41 @@ def sft_loss_window(
     program, ~5 GB for Qwen-0.5B at B=16) by S/t_max≈128× and cuts the head
     matmul FLOPs equally. Numerically identical: loss_mask is zero outside
     the window.
+
+    Packed rows (tst.data.packing): pass ``seg_starts`` [B, n_segs] and a 2-D
+    ``answer_pos`` [B, G] with one window per packed sample (-1 on unused
+    slots — those windows are weight-zeroed). G·t_max positions project per
+    row instead of t_max.
     """
     h = apply_model(base, tokens, spec, lora=lora, lora_spec=lora_spec,
                     use_pallas=use_pallas, remat=remat, return_hidden=True,
                     ring_mesh=ring_mesh, fused_mlp=fused_mlp,
-                    lora_rng=lora_rng)
-    s = tokens.shape[1]
-    rows = answer_pos[:, None] + jnp.arange(t_max, dtype=jnp.int32)[None, :]  # [B, T]
-    in_range = rows <= s - 2
+                    lora_rng=lora_rng, seg_starts=seg_starts)
+    b, s = tokens.shape
+    ap = answer_pos if answer_pos.ndim == 2 else answer_pos[:, None]  # [B, G]
+    g = ap.shape[1]
+    valid = ap >= 0  # [B, G] — unused packed slots
+    rows3 = (jnp.maximum(ap, 0)[:, :, None]
+             + jnp.arange(t_max, dtype=jnp.int32)[None, None, :])  # [B, G, T]
+    ok3 = (rows3 <= s - 2) & valid[:, :, None]
+    if seg_starts is not None:
+        # a window must not cross its segment's end: label position rows+1
+        # stays below the next segment's start (else a long t_max could
+        # double-count the NEXT packed sample's early tokens)
+        seg = jnp.asarray(seg_starts, jnp.int32)  # [B, n_segs]
+        later = jnp.where(seg[:, None, :] > jnp.maximum(ap, 0)[:, :, None],
+                          seg[:, None, :], s)
+        seg_end = jnp.min(later, axis=-1)  # [B, G] — next start, else S
+        ok3 = ok3 & (rows3 + 1 < seg_end[:, :, None])
+    rows = rows3.reshape(b, g * t_max)
+    in_range = ok3.reshape(b, g * t_max)
     rows_c = jnp.minimum(rows, s - 2)
-    hsel = jnp.take_along_axis(h, rows_c[..., None], axis=1)  # [B, T, D]
+    hsel = jnp.take_along_axis(h, rows_c[..., None], axis=1)  # [B, G*T, D]
     logits = jnp.einsum(
         "btd,dv->btv", hsel, lm_head_weight(base, spec).astype(spec.dtype),
         preferred_element_type=jnp.float32,
     )
-    labels = jnp.take_along_axis(tokens, rows_c + 1, axis=1)  # [B, T]
+    labels = jnp.take_along_axis(tokens, rows_c + 1, axis=1)  # [B, G*T]
     w = jnp.take_along_axis(loss_mask, rows_c + 1, axis=1) * in_range
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     gold_lp = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
@@ -212,11 +245,16 @@ class FoldTrainer:
         b1: float = 0.9,
         b2: float = 0.999,
         fused_mlp: bool = False,
+        packed: bool = False,
     ):
         self.spec = spec
         self.lora_spec = lora_spec
         self.k = k
         self.mesh = mesh
+        #: packed-sequence mode (tst.data.packing): ``fit`` takes PER-FOLD
+        #: stacked arrays [k, Np, ...] plus seg_starts, and answer_pos is
+        #: [k, Np, MAX_SEGS] (one window per packed sample)
+        self.packed = packed
         self._opt_key = (lr, total_steps, warmup_frac, weight_decay, b1, b2)
         self.tx = make_optimizer(lr, total_steps, warmup_frac, weight_decay, b1, b2)
         self.use_pallas = use_pallas
@@ -266,7 +304,7 @@ class FoldTrainer:
         if self.ring_mesh is not None:
             ring_key = (self.ring_mesh.axis_names, self.ring_mesh.devices.shape)
         key = (self.spec, self.lora_spec, self._opt_key, self.use_pallas,
-               self.remat, self.t_max, ring_key, self.fused_mlp)
+               self.remat, self.t_max, ring_key, self.fused_mlp, self.packed)
         cached = _STEP_CACHE.get(key)
         if cached is not None:
             return cached
@@ -280,7 +318,9 @@ class FoldTrainer:
 
         dropout = getattr(lspec, "dropout", 0.0) > 0.0
 
-        def one_fold(base, lora, opt_state, tokens, mask, pos, fold_idx):
+        packed = self.packed
+
+        def one_fold(base, lora, opt_state, tokens, mask, pos, segs, fold_idx):
             lora_rng = None
             if dropout:
                 # deterministic in (fold, optimizer step): fresh masks every
@@ -298,26 +338,43 @@ class FoldTrainer:
             if t_max is None:
                 loss, grads = jax.value_and_grad(sft_loss, argnums=1)(
                     base, lora, tokens, mask, spec, lspec, use_pallas, remat,
-                    ring_mesh, fused_mlp, lora_rng
+                    ring_mesh, fused_mlp, lora_rng, segs
                 )
             else:
                 loss, grads = jax.value_and_grad(sft_loss_window, argnums=1)(
                     base, lora, tokens, mask, pos, t_max, spec, lspec,
-                    use_pallas, remat, ring_mesh, fused_mlp, lora_rng
+                    use_pallas, remat, ring_mesh, fused_mlp, lora_rng, segs
                 )
             updates, opt_state = tx.update(grads, opt_state, lora)
             lora = optax.apply_updates(lora, updates)
             return lora, opt_state, loss
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def step(base, lora_k, opt_k, all_tokens, all_mask, all_pos, idx_kB):
-            tokens = all_tokens[idx_kB]  # [k, B, S] — on-device gather
-            mask = all_mask[idx_kB]
-            pos = all_pos[idx_kB]
-            folds = jnp.arange(idx_kB.shape[0], dtype=jnp.uint32)
-            return jax.vmap(one_fold, in_axes=(None, 0, 0, 0, 0, 0, 0))(
-                base, lora_k, opt_k, tokens, mask, pos, folds
-            )
+        if packed:
+            # per-fold datasets carry a leading [k] axis (each fold packs its
+            # own k-1 train folds); the gather picks each fold's own rows
+            @partial(jax.jit, donate_argnums=(1, 2))
+            def step(base, lora_k, opt_k, all_tokens, all_mask, all_pos,
+                     all_segs, idx_kB):
+                ka = jnp.arange(idx_kB.shape[0], dtype=jnp.int32)[:, None]
+                tokens = all_tokens[ka, idx_kB]  # [k, B, S]
+                mask = all_mask[ka, idx_kB]
+                pos = all_pos[ka, idx_kB]  # [k, B, MAX_SEGS]
+                segs = all_segs[ka, idx_kB]  # [k, B, MAX_SEGS]
+                folds = jnp.arange(idx_kB.shape[0], dtype=jnp.uint32)
+                return jax.vmap(one_fold, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+                    base, lora_k, opt_k, tokens, mask, pos, segs, folds
+                )
+        else:
+            @partial(jax.jit, donate_argnums=(1, 2))
+            def step(base, lora_k, opt_k, all_tokens, all_mask, all_pos, idx_kB):
+                tokens = all_tokens[idx_kB]  # [k, B, S] — on-device gather
+                mask = all_mask[idx_kB]
+                pos = all_pos[idx_kB]
+                folds = jnp.arange(idx_kB.shape[0], dtype=jnp.uint32)
+                return jax.vmap(one_fold,
+                                in_axes=(None, 0, 0, 0, 0, 0, None, 0))(
+                    base, lora_k, opt_k, tokens, mask, pos, None, folds
+                )
 
         _STEP_CACHE[key] = step
         return step
@@ -336,7 +393,16 @@ class FoldTrainer:
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: int = 50,
         fail_after_step: Optional[int] = None,  # fault injection for resume tests
+        all_segs: Optional[jnp.ndarray] = None,  # int32 [k, Np, MAX_SEGS] (packed)
+        n_segs: Optional[np.ndarray] = None,  # int32 [k, Np] host-side (packed)
     ) -> Tuple[Params, Any, TrainLog]:
+        if self.packed:
+            if all_segs is None or all_pos is None:
+                raise ValueError("packed mode needs all_segs and all_pos "
+                                 "(tst.data.packing.pack_fold_datasets arrays)")
+        elif all_segs is not None:
+            raise ValueError("all_segs passed to an unpacked FoldTrainer — "
+                             "construct it with packed=True")
         if all_pos is None:
             if self.t_max is not None:
                 raise ValueError("windowed loss (t_max set) needs all_pos")
@@ -355,10 +421,16 @@ class FoldTrainer:
         t0 = time.time()
         pending = []
         for t in range(start_step, batches.shape[0]):
-            lora, opt_state, loss = self._step_fn(
-                base, lora, opt_state, all_tokens, all_mask, all_pos,
-                jnp.asarray(batches[t])
-            )
+            if self.packed:
+                lora, opt_state, loss = self._step_fn(
+                    base, lora, opt_state, all_tokens, all_mask, all_pos,
+                    all_segs, jnp.asarray(batches[t])
+                )
+            else:
+                lora, opt_state, loss = self._step_fn(
+                    base, lora, opt_state, all_tokens, all_mask, all_pos,
+                    jnp.asarray(batches[t])
+                )
             pending.append(loss)
             if (t + 1) % log_every == 0 or t == batches.shape[0] - 1:
                 fold_loss = np.asarray(pending[-1])  # sync point
@@ -384,6 +456,12 @@ class FoldTrainer:
                                       extra=self.ckpt_extra(step=int(batches.shape[0])))
         log.steps = int(batches.shape[0])
         log.wall_seconds = time.time() - t0
-        n_samples = int(batches.shape[0]) * int(batches.shape[1]) * int(batches.shape[2])
+        if self.packed and n_segs is not None:
+            # count REAL samples (segments), not packed rows
+            idx = np.asarray(batches)  # [steps, k, B]
+            fold_ax = np.arange(idx.shape[1])[None, :, None]
+            n_samples = int(np.asarray(n_segs)[fold_ax, idx].sum())
+        else:
+            n_samples = int(batches.shape[0]) * int(batches.shape[1]) * int(batches.shape[2])
         log.samples_per_sec = n_samples / max(log.wall_seconds, 1e-9)
         return lora, opt_state, log
