@@ -355,3 +355,28 @@ class TestPackedTrainer:
             tr.fit(None, None, None, jnp.zeros((2, 4), jnp.int32),
                    jnp.zeros((2, 4)), np.zeros((1, 2, 1), np.int32),
                    all_segs=jnp.zeros((2, 1, 8), jnp.int32))
+
+
+class TestPackedPipeline:
+    def test_diagnose_sft_with_packing(self, tmp_path):
+        from tst.config import RunConfig
+        from tst.data.adapters import load_benchmark
+        from tst.train.pipeline import run_sft_diagnostic
+
+        cfg = RunConfig()
+        cfg.data.bench = "synthetic:0.8"
+        cfg.data.k = 3
+        cfg.data.n = 24
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.optim.epochs = 1
+        cfg.optim.batch_size = 2
+        cfg.optim.pack = True
+        cfg.out_dir = str(tmp_path)
+        ds = load_benchmark("synthetic:0.8", n=24, seed=0)
+        report = run_sft_diagnostic(ds, cfg)
+        assert report["pack_len"] % 128 == 0
+        assert 0.3 < report["pack_fill_fraction"] <= 1.0
+        assert report["n_samples"] == 24
+        assert np.isfinite(report["final_loss"])

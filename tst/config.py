@@ -82,6 +82,12 @@ class OptimConfig:
     b2: float = 0.999
     score_epochs: Tuple[int, ...] = ()  # extra epochs whose heldout probs average into s(x); () = final only
     n_seeds: int = 1  # independent SFT restarts averaged into s(x) (epochs/seeds aggregation)
+    #: sequence packing (tst.data.packing): several samples per train row,
+    #: attention confined per segment. batch_size then counts PACKED rows —
+    #: each carries ~pack_len/mean_sample_len samples. Training only; the
+    #: held-out scorer always sees unpacked rows.
+    pack: bool = False
+    pack_len: int = 0  # packed row length; 0 = 2x the tokenized bucket
 
 
 @dataclasses.dataclass

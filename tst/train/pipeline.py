@@ -16,6 +16,7 @@ import numpy as np
 
 from tst.config import RunConfig
 from tst.data.folds import kfold_assign
+from tst.data.packing import make_packed_fold_batches
 from tst.data.schema import BlindDataset
 from tst.data.tokenize import ByteTokenizer, HFTokenizer, TokenBatch, tokenize_dataset
 from tst.diagnose.score import bias_scores
@@ -148,7 +149,8 @@ class _SftRunState:
 
     __slots__ = ("tokenizer", "tb", "fold_id", "mesh", "spec", "params",
                  "lspec", "batches", "t_max", "trainer", "lora", "opt_state",
-                 "tokens", "loss_mask", "answer_pos", "on_tpu")
+                 "tokens", "loss_mask", "answer_pos", "on_tpu",
+                 "pack", "ptokens", "pmask", "ppos", "psegs")
 
 
 def _build_sft_state(ds: BlindDataset, cfg: RunConfig) -> _SftRunState:
@@ -163,10 +165,18 @@ def _build_sft_state(ds: BlindDataset, cfg: RunConfig) -> _SftRunState:
         st.mesh = mesh_mod.from_config(cfg.mesh)
     st.spec, st.params = build_model(cfg, st.tokenizer, st.mesh)
     st.lspec = lora_spec_from_cfg(cfg, st.spec.dtype)
-    st.batches = make_fold_batches(
-        st.fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
-        batch_multiple=cfg.mesh.data,
-    )
+    st.pack = None
+    if cfg.optim.pack:
+        st.pack = _pack_train_data(st.tb, st.fold_id, cfg)
+        st.batches = make_packed_fold_batches(
+            st.pack.n_rows, cfg.optim.batch_size, cfg.optim.epochs,
+            cfg.data.seed, batch_multiple=cfg.mesh.data,
+        )
+    else:
+        st.batches = make_fold_batches(
+            st.fold_id, k, cfg.optim.batch_size, cfg.optim.epochs, cfg.data.seed,
+            batch_multiple=cfg.mesh.data,
+        )
     # answer-window length: longest target (+1 margin), 2D-padded to even
     st.t_max = int(np.max(st.tb.lengths - st.tb.answer_pos - 1))
     st.on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
@@ -176,11 +186,32 @@ def _build_sft_state(ds: BlindDataset, cfg: RunConfig) -> _SftRunState:
         use_pallas=st.on_tpu, remat=cfg.model.remat, mesh=st.mesh,
         t_max=st.t_max, ring=cfg.mesh.seq > 1, b1=cfg.optim.b1,
         b2=cfg.optim.b2, fused_mlp=cfg.model.fused_mlp,
+        packed=st.pack is not None,
     )
     st.lora, st.opt_state = st.trainer.init_state(
         jax.random.key(cfg.data.seed + 1))
     st.tokens, st.loss_mask, st.answer_pos = _device_data(st.tb, st.mesh)
+    if st.pack is not None:
+        kw = {}
+        if st.mesh is not None:
+            kw["device"] = mesh_mod.replicated(st.mesh)
+        st.ptokens = jax.device_put(jnp.asarray(st.pack.tokens), **kw)
+        st.pmask = jax.device_put(jnp.asarray(st.pack.loss_mask), **kw)
+        st.ppos = jax.device_put(jnp.asarray(st.pack.answer_pos), **kw)
+        st.psegs = jax.device_put(jnp.asarray(st.pack.seg_starts), **kw)
     return st
+
+
+def _pack_train_data(tb: TokenBatch, fold_id: np.ndarray, cfg: RunConfig):
+    """Per-fold packed train splits for ``optim.pack`` (tst.data.packing)."""
+    from tst.data.packing import pack_fold_datasets
+
+    pack_len = int(cfg.optim.pack_len) or 2 * tb.seq_len
+    if pack_len < tb.seq_len:
+        raise ValueError(
+            f"optim.pack_len {pack_len} < tokenized bucket {tb.seq_len} — "
+            "the longest sample would not fit a packed row")
+    return pack_fold_datasets(tb, fold_id, cfg.data.k, pack_len)
 
 
 def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
@@ -208,10 +239,16 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     report: Dict[str, Any] = {"model": spec.name, "k": k,
                               "seq_len": tb.seq_len, "n_samples": len(ds)}
     t0 = time.time()
-    st.trainer._step_fn.lower(
-        st.params, st.lora, st.opt_state, st.tokens, st.loss_mask,
-        st.answer_pos, jnp.asarray(st.batches[0]),
-    ).compile()
+    if st.pack is not None:
+        st.trainer._step_fn.lower(
+            st.params, st.lora, st.opt_state, st.ptokens, st.pmask,
+            st.ppos, st.psegs, jnp.asarray(st.batches[0]),
+        ).compile()
+    else:
+        st.trainer._step_fn.lower(
+            st.params, st.lora, st.opt_state, st.tokens, st.loss_mask,
+            st.answer_pos, jnp.asarray(st.batches[0]),
+        ).compile()
     report["train_step_compile_s"] = round(time.time() - t0, 2)
 
     if bool((tb.gold >= 0).any()):
@@ -300,24 +337,40 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
             if s_i > 0:  # fresh adapters + fresh batch order, same folds
                 lora, opt_state = trainer.init_state(
                     jax.random.key(cfg.data.seed + 1 + 7919 * s_i))
-                batches = make_fold_batches(
-                    fold_id, k, cfg.optim.batch_size, cfg.optim.epochs,
-                    cfg.data.seed + s_i, batch_multiple=cfg.mesh.data,
-                )
+                if st.pack is not None:
+                    batches = make_packed_fold_batches(
+                        st.pack.n_rows, cfg.optim.batch_size, cfg.optim.epochs,
+                        cfg.data.seed + s_i, batch_multiple=cfg.mesh.data,
+                    )
+                else:
+                    batches = make_fold_batches(
+                        fold_id, k, cfg.optim.batch_size, cfg.optim.epochs,
+                        cfg.data.seed + s_i, batch_multiple=cfg.mesh.data,
+                    )
             for e in range(cfg.optim.epochs):
                 chunk = batches[e * steps_per_epoch: (e + 1) * steps_per_epoch]
                 if e == cfg.optim.epochs - 1:  # last epoch takes any remainder
                     chunk = batches[e * steps_per_epoch:]
                 if chunk.shape[0] == 0:
                     continue
-                lora, opt_state, elog = trainer.fit(
-                    params, lora, opt_state, tokens, loss_mask, chunk,
-                    all_pos=answer_pos, log_every=cfg.log_every,
+                fit_kw = dict(
+                    log_every=cfg.log_every,
                     log_fn=lambda step, loss: logger.log(
                         event="train", seed=s_i, epoch=e, step=step, loss=loss),
                     checkpoint_dir=(f"{cfg.checkpoint_dir}/seed_{s_i}_epoch_{e:03d}"
                                     if cfg.checkpoint_dir else None),
                 )
+                if st.pack is not None:
+                    lora, opt_state, elog = trainer.fit(
+                        params, lora, opt_state, st.ptokens, st.pmask, chunk,
+                        all_pos=st.ppos, all_segs=st.psegs,
+                        n_segs=st.pack.n_segs, **fit_kw,
+                    )
+                else:
+                    lora, opt_state, elog = trainer.fit(
+                        params, lora, opt_state, tokens, loss_mask, chunk,
+                        all_pos=answer_pos, **fit_kw,
+                    )
                 tlog = _merge_logs(tlog, elog)
                 if (e + 1) in score_after:
                     epoch_probs.append(score_now(lora))
@@ -428,6 +481,9 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         train_samples_per_sec=round(tlog.samples_per_sec, 2),
         wall_seconds=round(time.time() - t_start, 2),
     )
+    if st.pack is not None:
+        report["pack_len"] = st.pack.pack_len
+        report["pack_fill_fraction"] = round(st.pack.fill_fraction, 4)
     from tst.io import outputs
 
     outputs.write_sx_table(cfg.out_dir, ds, s_x, fold_id, pred=pred)
