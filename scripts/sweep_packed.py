@@ -1,0 +1,136 @@
+"""Measure sequence packing at the headline bench shape on the real chip.
+
+Compares, at the Qwen2.5-0.5B k=5 'dots' workload (bench.py leg 1):
+  A. unpacked baseline: B=4 rows of S=512 (~61% fill at synthetic n=256)
+  B. packed pack_len=1024, B=2 (same 2048 tokens/fold-step, ~88% fill),
+     auto attention schedule (groups*1024 = 7168 > FOLD_MAX_ROWS -> tiled
+     one-shot whole-KV kernel)
+  C. same as B but forcing the folded-GQA schedule with row tiles of one
+     group (FOLD_MAX_ROWS=8192, FOLD_BLOCK_Q=1024)
+
+The tracked metric counts REAL samples (packed segments), not rows.
+Run: python scripts/sweep_packed.py [steps]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tst.aux.ckpt import enable_compilation_cache
+from tst.data.folds import kfold_assign
+from tst.data.packing import make_packed_fold_batches, pack_fold_datasets
+from tst.data.synthetic import make_synthetic_mcq
+from tst.data.tokenize import ByteTokenizer, tokenize_dataset
+from tst.models.decoder import init_params, spec_by_name
+from tst.models.lora import LoraSpec
+from tst.train.sft import FoldTrainer, make_fold_batches
+import tst.kernels.flash_attention as fa
+import tst.train.sft as sft_mod
+
+enable_compilation_cache()
+
+K, SEQ = 5, 512
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+WARMUP = 3
+
+spec = spec_by_name("qwen2.5-0.5b")
+ds = make_synthetic_mcq(n=256, bias_fraction=0.5, seed=0)
+tb = tokenize_dataset(ds, ByteTokenizer(), max_len=SEQ)
+fold_id = kfold_assign(ds, K, seed=0)
+lspec = LoraSpec(rank=16, alpha=32.0, dtype=spec.dtype)
+t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
+params = init_params(jax.random.key(0), spec)
+print(f"t_max={t_max} mean_len={tb.lengths.mean():.1f} bucket={tb.seq_len}",
+      flush=True)
+
+
+def run_unpacked(batch):
+    batches = make_fold_batches(fold_id, K, batch, epochs=50, seed=0)
+    tr = FoldTrainer(spec, lspec, k=K, lr=1e-4, total_steps=STEPS + WARMUP,
+                     use_pallas=True, remat="dots", t_max=t_max)
+    lora, opt = tr.init_state(jax.random.key(1))
+    tokens = jnp.asarray(tb.tokens)
+    mask = jnp.asarray(tb.loss_mask)
+    pos = jnp.asarray(tb.answer_pos)
+    t0 = time.perf_counter()
+    for t in range(WARMUP):
+        lora, opt, loss = tr._step_fn(params, lora, opt, tokens, mask, pos,
+                                      jnp.asarray(batches[t]))
+    np.asarray(loss)
+    print(f"  compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for t in range(WARMUP, WARMUP + STEPS):
+        lora, opt, loss = tr._step_fn(params, lora, opt, tokens, mask, pos,
+                                      jnp.asarray(batches[t]))
+    np.asarray(loss)
+    dt = (time.perf_counter() - t0) / STEPS
+    return K * batch / dt, dt
+
+
+def run_packed(pack_len, batch):
+    fp = pack_fold_datasets(tb, fold_id, K, pack_len)
+    batches = make_packed_fold_batches(fp.n_rows, batch, epochs=50, seed=0)
+    tr = FoldTrainer(spec, lspec, k=K, lr=1e-4, total_steps=STEPS + WARMUP,
+                     use_pallas=True, remat="dots", t_max=t_max, packed=True)
+    lora, opt = tr.init_state(jax.random.key(1))
+    tokens = jnp.asarray(fp.tokens)
+    mask = jnp.asarray(fp.loss_mask)
+    pos = jnp.asarray(fp.answer_pos)
+    segs = jnp.asarray(fp.seg_starts)
+    t0 = time.perf_counter()
+    for t in range(WARMUP):
+        lora, opt, loss = tr._step_fn(params, lora, opt, tokens, mask, pos,
+                                      segs, jnp.asarray(batches[t]))
+    np.asarray(loss)
+    print(f"  fill={fp.fill_fraction:.3f} rows/fold={fp.n_rows.tolist()} "
+          f"compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    idx = np.asarray(batches[WARMUP: WARMUP + STEPS])
+    fold_ax = np.arange(K)[None, :, None]
+    n_samples = int(fp.n_segs[fold_ax, idx].sum())
+    t0 = time.perf_counter()
+    for t in range(WARMUP, WARMUP + STEPS):
+        lora, opt, loss = tr._step_fn(params, lora, opt, tokens, mask, pos,
+                                      segs, jnp.asarray(batches[t]))
+    np.asarray(loss)
+    wall = time.perf_counter() - t0
+    return n_samples / wall, wall / STEPS
+
+
+def clear():
+    sft_mod._STEP_CACHE.clear()
+    jax.clear_caches()
+
+
+print("A. unpacked B=4 S=512 (baseline)", flush=True)
+sps, dt = run_unpacked(4)
+print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
+
+clear()
+print("B. packed 1024 B=2 (auto schedule: tiled one-shot)", flush=True)
+sps, dt = run_packed(1024, 2)
+print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
+
+clear()
+fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q = 8192, 1024
+print("C. packed 1024 B=2 (folded, row tiles of one group)", flush=True)
+sps, dt = run_packed(1024, 2)
+print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
+fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q = 4096, None
+
+clear()
+fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = 8192, 1024, 1024
+print("D. packed 1024 B=2 (folded one-shot: whole-KV tile, group row tiles)",
+      flush=True)
+sps, dt = run_packed(1024, 2)
+print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
+fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = 4096, None, None
+
+clear()
+print("E. packed 1024 B=3 (auto schedule)", flush=True)
+sps, dt = run_packed(1024, 3)
+print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
