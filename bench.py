@@ -147,6 +147,66 @@ def main() -> None:
                          remat="dots" if on_tpu else False, t_max=t_max)
     par = bench_trainer(tr_par, K, lambda t: jnp.asarray(batches[t]))
 
+    # ── packed fold-parallel: the SAME workload with sequence packing
+    # (optim.pack): ~3 samples per 1024-token row lifts fill 0.61 → 0.90;
+    # B=3 rows/fold through the row-tiled folded one-shot attention schedule
+    # measured 164.3 vs 135.9 samples/s unpacked (scripts/sweep_packed.py) ──
+    packed = None
+    try:
+        from tst.data.packing import (make_packed_fold_batches,
+                                      pack_fold_datasets)
+
+        PACK_LEN, PACK_BATCH = 2 * SEQ, 3
+        fp = pack_fold_datasets(tb, fold_id, K, PACK_LEN)
+        pbatches = make_packed_fold_batches(
+            fp.n_rows, PACK_BATCH, epochs=50, seed=0)[: STEPS + WARMUP + 1]
+        tr_pack = FoldTrainer(spec, lspec, k=K, lr=1e-4,
+                              total_steps=STEPS + WARMUP, use_pallas=on_tpu,
+                              remat="dots" if on_tpu else False, t_max=t_max,
+                              packed=True)
+        plora, popt = tr_pack.init_state(jax.random.key(1))
+        ptok = jnp.asarray(fp.tokens)
+        pmask = jnp.asarray(fp.loss_mask)
+        ppos = jnp.asarray(fp.answer_pos)
+        psegs = jnp.asarray(fp.seg_starts)
+        t0 = time.perf_counter()
+        plora, popt, ploss = tr_pack._step_fn(
+            params, plora, popt, ptok, pmask, ppos, psegs,
+            jnp.asarray(pbatches[0]))
+        np.asarray(ploss)
+        pack_compile_s = time.perf_counter() - t0
+        for t in range(1, WARMUP):
+            plora, popt, ploss = tr_pack._step_fn(
+                params, plora, popt, ptok, pmask, ppos, psegs,
+                jnp.asarray(pbatches[t]))
+        np.asarray(ploss)
+        idx = np.asarray(pbatches[WARMUP: WARMUP + STEPS])
+        n_real = int(fp.n_segs[np.arange(K)[None, :, None], idx].sum())
+        t0 = time.perf_counter()
+        for t in range(WARMUP, WARMUP + STEPS):
+            plora, popt, ploss = tr_pack._step_fn(
+                params, plora, popt, ptok, pmask, ppos, psegs,
+                jnp.asarray(pbatches[t]))
+        np.asarray(ploss)
+        pdt = (time.perf_counter() - t0) / STEPS
+        from tst.aux.flops import train_step_flops
+
+        pflops = train_step_flops(spec, lspec, n_rows=K * PACK_BATCH,
+                                  seq=PACK_LEN, t_max=t_max,
+                                  remat=tr_pack.remat)["model_flops"]
+        packed = {
+            "samples_per_s": n_real / (pdt * STEPS),
+            "step_ms": pdt * 1e3,
+            "compile_s": pack_compile_s,
+            "fill": fp.fill_fraction,
+            "pack_len": PACK_LEN,
+            "batch_rows": PACK_BATCH,
+            "mfu": (pflops / pdt / V5E_PEAK_BF16_FLOPS) if on_tpu else None,
+        }
+        del plora, popt, ptok, pmask, ppos, psegs
+    except Exception as e:  # the packed leg must never sink the metric
+        print(f"packed leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # ── fold-sequential baseline: k single-fold programs per step (the
     # reference's job-level parallelism on one chip; each job would also
     # pay its own compile — measured below) ──
@@ -424,13 +484,24 @@ def main() -> None:
         except Exception as e:
             print(f"decode leg skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    value = par["samples_per_s"] / max(n_chips, 1)
+    # headline = the fastest honest configuration of the same workload; the
+    # packed leg trains identical samples (packing is exactly loss/grad-
+    # preserving — tests/test_packing.py), so it competes directly
+    best_sps = par["samples_per_s"]
+    headline_cfg = "unpacked"
+    if packed is not None and packed["samples_per_s"] > best_sps:
+        best_sps = packed["samples_per_s"]
+        headline_cfg = "packed"
+    value = best_sps / max(n_chips, 1)
     out = {
         "metric": "blind_sft_samples_per_sec_per_chip",
         "value": round(value, 3),
         "unit": "samples/s/chip",
-        "vs_baseline": round(par["samples_per_s"] / sps_sequential, 3),
+        "vs_baseline": round(best_sps / sps_sequential, 3),
         "baseline": "fold-sequential same-chip (reference-style per-fold jobs)",
+        "headline_config": headline_cfg,
+        "unpacked_samples_per_sec_per_chip": round(
+            par["samples_per_s"] / max(n_chips, 1), 3),
         "model": spec.name,
         "k": K, "batch_per_fold": BATCH, "seq_len": SEQ,
         "backend": backend, "n_chips": n_chips,
@@ -455,6 +526,14 @@ def main() -> None:
     if par["mfu"]:
         out["mfu"] = round(par["mfu"], 3)
         out["tflops_per_s"] = round(par["flops_per_step"] / (par["step_ms"] / 1e3) / 1e12, 1)
+    if packed is not None:
+        out["packed_samples_per_sec_per_chip"] = round(
+            packed["samples_per_s"] / max(n_chips, 1), 3)
+        out["pack_len"] = packed["pack_len"]
+        out["pack_fill_fraction"] = round(packed["fill"], 3)
+        out["pack_batch_rows_per_fold"] = packed["batch_rows"]
+        if packed["mfu"]:
+            out["packed_mfu"] = round(packed["mfu"], 3)
     if llama8b is not None:
         out["llama3_8b_int8_samples_per_sec_per_chip"] = round(
             llama8b["samples_per_s"] / max(n_chips, 1), 3)

@@ -37,6 +37,8 @@ enable_compilation_cache()
 K, SEQ = 5, 512
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 WARMUP = 3
+#: which variants to run, e.g. `python scripts/sweep_packed.py 12 FGH`
+VARIANTS = sys.argv[2].upper() if len(sys.argv) > 2 else "ABCDEFGH"
 
 spec = spec_by_name("qwen2.5-0.5b")
 ds = make_synthetic_mcq(n=256, bias_fraction=0.5, seed=0)
@@ -106,31 +108,37 @@ def clear():
     jax.clear_caches()
 
 
-print("A. unpacked B=4 S=512 (baseline)", flush=True)
-sps, dt = run_unpacked(4)
-print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
 
-clear()
-print("B. packed 1024 B=2 (auto schedule: tiled one-shot)", flush=True)
-sps, dt = run_packed(1024, 2)
-print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
+#: (label, pack_len or None=unpacked, batch, (fold_max, fold_bq, fold_bk))
+_CASES = {
+    "A": ("unpacked B=4 S=512 (baseline)", None, 4, None),
+    "B": ("packed 1024 B=2 (auto: tiled one-shot)", 1024, 2, None),
+    "C": ("packed 1024 B=2 (folded, online-softmax kv tiles)", 1024, 2,
+          (8192, 1024, None)),
+    "D": ("packed 1024 B=2 (folded one-shot, group row tiles)", 1024, 2,
+          (8192, 1024, 1024)),
+    "E": ("packed 1024 B=3 (auto)", 1024, 3, None),
+    "F": ("packed 1024 B=3 (folded one-shot)", 1024, 3, (8192, 1024, 1024)),
+    "G": ("packed 1024 B=4 (folded one-shot)", 1024, 4, (8192, 1024, 1024)),
+    "H": ("packed 2048 B=1 (folded one-shot, 512-row tiles)", 2048, 1,
+          (16384, 512, 2048)),
+    "I": ("packed 2048 B=2 (folded one-shot, 512-row tiles)", 2048, 2,
+          (16384, 512, 2048)),
+    "J": ("packed 1024 B=3 (folded one-shot, 2-group row tiles)", 1024, 3,
+          (8192, 2048, 1024)),
+    "K": ("packed 1024 B=3 (folded one-shot, 512-row tiles)", 1024, 3,
+          (8192, 512, 1024)),
+}
 
-clear()
-fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q = 8192, 1024
-print("C. packed 1024 B=2 (folded, row tiles of one group)", flush=True)
-sps, dt = run_packed(1024, 2)
-print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
-fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q = 4096, None
-
-clear()
-fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = 8192, 1024, 1024
-print("D. packed 1024 B=2 (folded one-shot: whole-KV tile, group row tiles)",
-      flush=True)
-sps, dt = run_packed(1024, 2)
-print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
-fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = 4096, None, None
-
-clear()
-print("E. packed 1024 B=3 (auto schedule)", flush=True)
-sps, dt = run_packed(1024, 3)
-print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
+for letter in VARIANTS:
+    label, pack_len, batch, fold_knobs = _CASES[letter]
+    clear()
+    if fold_knobs is not None:
+        fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = fold_knobs
+    print(f"{letter}. {label}", flush=True)
+    if pack_len is None:
+        sps, dt = run_unpacked(batch)
+    else:
+        sps, dt = run_packed(pack_len, batch)
+    print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
+    fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = 4096, None, None

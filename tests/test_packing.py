@@ -380,3 +380,33 @@ class TestPackedPipeline:
         assert 0.3 < report["pack_fill_fraction"] <= 1.0
         assert report["n_samples"] == 24
         assert np.isfinite(report["final_loss"])
+
+
+class TestRowTiledFoldedOneshot:
+    """The groups*S > FOLD_MAX_ROWS, S <= FOLD_ONESHOT_MAX_S auto branch:
+    folded schedule with one group per row tile and a whole-KV tile."""
+
+    def test_forward_and_grads_match_reference(self):
+        # groups=9, s=512 -> 4608 folded rows > FOLD_MAX_ROWS(4096)
+        q, k, v = _qkv(b=1, s=512, h=18, kvh=2, d=32)
+        seg = jnp.asarray([[0, 300] + [int(fa.SEG_PAD)] * 6], jnp.int32)
+        out = fa.flash_attention(q, k, v, causal=True, seg_starts=seg)
+        ref = fa.mha_reference(q, k, v, causal=True, seg_starts=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        gf = jax.grad(lambda q, k, v: (fa.flash_attention(
+            q, k, v, causal=True, seg_starts=seg) ** 2).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: (fa.mha_reference(
+            q, k, v, causal=True, seg_starts=seg) ** 2).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_no_seg_matches_reference(self):
+        q, k, v = _qkv(b=1, s=512, h=18, kvh=2, d=32)
+        out = fa.flash_attention(q, k, v, causal=True)
+        ref = fa.mha_reference(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)

@@ -873,6 +873,14 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 #: bounds VMEM: the [groups*S, block_k] f32 probs tile must fit.
 FOLD_MAX_ROWS = 4096
 
+#: past FOLD_MAX_ROWS the folded schedule still wins IF one GROUP's rows fit
+#: a whole-KV one-shot tile: bq = bk = S (row tiles of one group, [S, S] f32
+#: probs <= 4 MB at the 1024 cap). Measured at the packed-1024 0.5B workload
+#: (groups*S = 7168): 164.3 samples/s vs 160.9 tiled / 128.6 folded
+#: online-softmax / 159.1 512-row tiles (scripts/sweep_packed.py). Beyond
+#: 1024 the quadratic probs tile blows VMEM (2048-row tiles: 57 MB > 16 MB).
+FOLD_ONESHOT_MAX_S = 1024
+
 #: tuning overrides for the folded schedule's row/kv tiles (None = all rows /
 #: _pick_block(S)). Read at TRACE time — clear tst.train.sft._STEP_CACHE
 #: when changing mid-process (scripts/sweep_fold_blocks.py does).
@@ -901,12 +909,16 @@ def flash_attention(
 
     Dispatches between two kernel schedules:
       * **folded GQA** (automatic when ``block_q`` is not forced and
-        ``groups*S <= FOLD_MAX_ROWS``): q is viewed as [B, KVH, groups*S, D]
-        — one grid cell per (batch, kv-head) runs the whole group as a
-        single tall matmul, streaming each K/V tile from HBM once per GROUP
-        instead of once per q-head; causal masking uses position = row % S
-        (``pos_mod``). The backward dK/dV group-sum happens inside the
-        matmul (contraction over groups*S rows).
+        ``groups*S <= FOLD_MAX_ROWS`` or ``S <= FOLD_ONESHOT_MAX_S``): q is
+        viewed as [B, KVH, groups*S, D] — one grid cell per (batch, kv-head)
+        runs the whole group as a single tall matmul, streaming each K/V
+        tile from HBM once per GROUP instead of once per q-head; causal
+        masking uses position = row % S (``pos_mod``). Rows tile as one tall
+        matmul when they fit ``FOLD_MAX_ROWS``, else as one GROUP per tile
+        with the whole KV in one tile (the row-tiled one-shot regime —
+        measured fastest at packed-1024 shapes, scripts/sweep_packed.py).
+        The backward dK/dV group-sum happens inside the matmul (contraction
+        over rows).
       * **tiled** (long sequences / explicit blocks): the classic
         (batch, head, q_tile, kv_tile) grid with above-diagonal tile
         skipping.
@@ -936,7 +948,8 @@ def flash_attention(
     vt = v.transpose(0, 2, 1, 3)
     if fold is None:
         fold = (block_q is None and s == k.shape[1] and s % 128 == 0
-                and groups * s <= FOLD_MAX_ROWS)
+                and (groups * s <= FOLD_MAX_ROWS
+                     or s <= FOLD_ONESHOT_MAX_S))
     elif fold:
         # explicit fold=True must still satisfy the schedule's invariants:
         # pos_mod masking assumes self-attention (q rows and kv columns share
@@ -953,10 +966,16 @@ def flash_attention(
         # masking is correct under ANY row tiling, so block_q here tiles the
         # folded [groups*S] rows (default: all of them — one tall matmul).
         qf = qt.reshape(b, kv_heads, groups * s, d)
-        bq = block_q or FOLD_BLOCK_Q or groups * s
+        if groups * s <= FOLD_MAX_ROWS:
+            default_bq, default_bk = groups * s, _pick_block(s, target=512)
+        else:
+            # row-tiled folded one-shot: one group per row tile, whole KV in
+            # one tile (scratch-free kernels + the self-contained fused bwd)
+            default_bq = default_bk = s
+        bq = block_q or FOLD_BLOCK_Q or default_bq
         if block_q is None and (groups * s) % bq:
-            bq = groups * s  # module-level override doesn't divide here
-        bk = block_k or FOLD_BLOCK_K or _pick_block(s, target=512)
+            bq = default_bq  # module-level override doesn't divide here
+        bk = block_k or FOLD_BLOCK_K or default_bk
         if (groups * s) % bq or s % bk:
             raise ValueError(
                 f"folded flash_attention: {groups}*{s} % block_q {bq} or "
