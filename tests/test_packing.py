@@ -410,3 +410,40 @@ class TestRowTiledFoldedOneshot:
         ref = fa.mha_reference(q, k, v, causal=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestPackedIBP:
+    def test_ibp_with_packing_pins_shapes_and_prunes(self, tmp_path):
+        import tempfile
+
+        from tst.config import RunConfig
+        from tst.debias.ibp import run_ibp
+
+        cfg = RunConfig()
+        cfg.data.k = 2
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.lora.rank = 4
+        cfg.lora.alpha = 8.0
+        cfg.lora.targets = ("q_proj", "v_proj")
+        cfg.optim.lr = 5e-3
+        cfg.optim.epochs = 5
+        # batch_size counts PACKED ROWS (~3 samples each): 4 rows ≈ the
+        # unpacked IBP test's per-step sample count at similar step counts
+        cfg.optim.batch_size = 4
+        cfg.optim.pack = True
+        cfg.ibp.diagnostic = "sft"
+        cfg.ibp.rounds = 3
+        cfg.ibp.prune_rate = 0.25
+        cfg.ibp.stop_epsilon = 0.05
+        cfg.rf.cross_check = False
+        cfg.out_dir = str(tmp_path)
+        ds = make_synthetic_mcq(n=96, bias_fraction=0.5,
+                                bias_kind="position", seed=0)
+        rep = run_ibp(ds, cfg)
+        assert rep["rounds_run"] >= 2
+        accs = [a["blind_accuracy"] for a in rep["per_round"]]
+        assert accs[0] > 0.4  # position shortcut learned in round 0
+        assert accs[-1] < accs[0]  # pruning reduces exploitability
+        assert rep["fraction_kept"] < 1.0

@@ -137,17 +137,29 @@ def pack_fold_datasets(
     pack_len: int,
     include_mask: Optional[np.ndarray] = None,
     max_segs: int = MAX_SEGS,
+    pad_rows_to: Optional[int] = None,
 ) -> FoldPacked:
     """Pack each fold's train split (rows with ``fold_id != f``, optionally
     restricted by ``include_mask``) into its own packed rows, padded to the
     max per-fold row count. Padding rows are all-pad tokens with n_segs=0,
     zero loss mask, and a lone segment start at 0 — harmless to train on if
     ever gathered (they never are: index streams draw from real rows only).
+
+    ``pad_rows_to``: pad the row axis to at least this count — IBP rounds
+    pin the device array shape to round 0's so the jitted step never
+    retraces as the surviving set shrinks (tst.debias.ibp).
     """
     keep = np.ones(tb.n, bool) if include_mask is None else np.asarray(include_mask, bool)
     train_rows = [np.flatnonzero((fold_id != f) & keep) for f in range(k)]
     packs = [pack_rows(tb, r, pack_len, max_segs) for r in train_rows]
     np_max = max(p.n_rows for p in packs)
+    if pad_rows_to is not None:
+        if np_max > pad_rows_to:
+            raise ValueError(
+                f"packed rows {np_max} exceed the pinned row count "
+                f"{pad_rows_to} — a later IBP round packed into MORE rows "
+                "than round 0 (first-fit anomaly); re-pin shapes")
+        np_max = pad_rows_to
     real_tokens = sum(int(tb.lengths[r].sum()) for r in train_rows)
     row_tokens = sum(p.n_rows for p in packs) * pack_len
 

@@ -268,6 +268,14 @@ class _SftRoundRunner:
 
         self.pad_numeric = _pad_for(lambda s: s.answer_type == "numeric")
         self.pad_open = _pad_for(lambda s: s.answer_type == "open")
+        #: sequence packing (optim.pack): rounds re-pack the surviving set
+        #: host-side (~MBs re-uploaded per round) but the ROW-AXIS shape is
+        #: pinned to round 0's packed row count, so the jitted train step
+        #: never retraces as the set shrinks — same invariant as pad_m.
+        self.pack_len = 0
+        self.pack_rows0: Optional[int] = None
+        if cfg.optim.pack:
+            self.pack_len = int(cfg.optim.pack_len) or 2 * self.tb.seq_len
         #: pairwise Spearman of per-seed final s(x) in the latest round
         #: (None unless optim.n_seeds > 1) — parity evidence for the report
         self.last_seed_spearman: Optional[float] = None
@@ -279,7 +287,7 @@ class _SftRoundRunner:
             use_pallas=cfg.model.use_pallas and jax.default_backend() == "tpu",
             remat=cfg.model.remat, mesh=self.mesh, t_max=self.t_max,
             ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
-            fused_mlp=cfg.model.fused_mlp,
+            fused_mlp=cfg.model.fused_mlp, packed=bool(self.pack_len),
         )
         self._on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
 
@@ -300,11 +308,31 @@ class _SftRoundRunner:
         fold_global = np.full(len(self.ds), -1, np.int32)
         fold_global[sub_idx] = fold_sub
 
-        batches = make_fold_batches(
-            fold_global, self.k, cfg.optim.batch_size, cfg.optim.epochs,
-            cfg.data.seed + r, batch_multiple=cfg.mesh.data,
-            include_mask=alive,
-        )
+        pack = None
+        if self.pack_len:
+            import jax.numpy as jnp
+
+            from tst.data.packing import (make_packed_fold_batches,
+                                          pack_fold_datasets)
+
+            pack = pack_fold_datasets(
+                self.tb, fold_global, self.k, self.pack_len,
+                include_mask=alive, pad_rows_to=self.pack_rows0)
+            if self.pack_rows0 is None:  # round 0 pins the row-axis shape
+                self.pack_rows0 = pack.tokens.shape[1]
+            ptok = jnp.asarray(pack.tokens)
+            pmask = jnp.asarray(pack.loss_mask)
+            ppos = jnp.asarray(pack.answer_pos)
+            psegs = jnp.asarray(pack.seg_starts)
+            batches = make_packed_fold_batches(
+                pack.n_rows, cfg.optim.batch_size, cfg.optim.epochs,
+                cfg.data.seed + r, batch_multiple=cfg.mesh.data)
+        else:
+            batches = make_fold_batches(
+                fold_global, self.k, cfg.optim.batch_size, cfg.optim.epochs,
+                cfg.data.seed + r, batch_multiple=cfg.mesh.data,
+                include_mask=alive,
+            )
         n_seeds = max(int(cfg.optim.n_seeds), 1)
         seed_probs = []
         seed_final = []  # one FINAL prob table per seed (seed-stability stat)
@@ -337,11 +365,19 @@ class _SftRoundRunner:
             lora, opt = self.trainer.init_state(
                 jax.random.key(cfg.data.seed + 1 + r + 7919 * s_i))
             if s_i > 0:
-                batches = make_fold_batches(
-                    fold_global, self.k, cfg.optim.batch_size, cfg.optim.epochs,
-                    cfg.data.seed + r + 31 * s_i, batch_multiple=cfg.mesh.data,
-                    include_mask=alive,
-                )
+                if pack is not None:
+                    from tst.data.packing import make_packed_fold_batches
+
+                    batches = make_packed_fold_batches(
+                        pack.n_rows, cfg.optim.batch_size, cfg.optim.epochs,
+                        cfg.data.seed + r + 31 * s_i,
+                        batch_multiple=cfg.mesh.data)
+                else:
+                    batches = make_fold_batches(
+                        fold_global, self.k, cfg.optim.batch_size,
+                        cfg.optim.epochs, cfg.data.seed + r + 31 * s_i,
+                        batch_multiple=cfg.mesh.data, include_mask=alive,
+                    )
             # epoch-chunked training so mid-training snapshots can be scored
             # into s(x) (optim.score_epochs), same as the one-shot diagnostic
             for e in range(cfg.optim.epochs):
@@ -350,10 +386,17 @@ class _SftRoundRunner:
                     chunk = batches[e * steps_per_epoch:]
                 if chunk.shape[0] == 0:
                     continue
-                lora, opt, log = self.trainer.fit(
-                    self.params, lora, opt, self.tokens, self.loss_mask, chunk,
-                    all_pos=self.answer_pos, log_every=cfg.log_every,
-                )
+                if pack is not None:
+                    lora, opt, log = self.trainer.fit(
+                        self.params, lora, opt, ptok, pmask, chunk,
+                        all_pos=ppos, all_segs=psegs, n_segs=pack.n_segs,
+                        log_every=cfg.log_every,
+                    )
+                else:
+                    lora, opt, log = self.trainer.fit(
+                        self.params, lora, opt, self.tokens, self.loss_mask,
+                        chunk, all_pos=self.answer_pos, log_every=cfg.log_every,
+                    )
                 if (e + 1) in self.score_after:
                     seed_probs.append(mcq_score(lora))
             final_p = mcq_score(lora)
