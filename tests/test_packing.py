@@ -447,3 +447,48 @@ class TestPackedIBP:
         assert accs[0] > 0.4  # position shortcut learned in round 0
         assert accs[-1] < accs[0]  # pruning reduces exploitability
         assert rep["fraction_kept"] < 1.0
+
+
+class TestPackedTransfer:
+    def test_train_transfer_with_packing(self, tmp_path):
+        from tst.config import RunConfig
+        from tst.data.adapters import load_benchmark
+        from tst.train.transfer import run_train_transfer
+
+        cfg = RunConfig()
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        cfg.optim.epochs = 1
+        cfg.optim.batch_size = 2
+        cfg.optim.pack = True
+        cfg.out_dir = str(tmp_path)
+        train_ds = load_benchmark("synthetic:0.8", n=24, seed=0)
+        eval_ds = load_benchmark("synthetic:0.8", n=16, seed=1)
+        rep = run_train_transfer(train_ds, eval_ds, cfg)
+        assert rep["experiment"] == "train_transfer"
+        assert np.isfinite(rep["final_loss"])
+        assert 0.0 <= rep["blind_accuracy"] <= 1.0
+
+
+class TestMidSeqFoldedDispatch:
+    """groups*S <= FOLD_MAX_ROWS but S >= 1024: the dispatch now takes the
+    row-tiled one-shot (whole-rows + kv tiles VMEM-OOMs at d=128 on 8B
+    geometry and measured slower at 0.5B)."""
+
+    def test_s1024_parity(self):
+        q, k, v = _qkv(b=1, s=1024, h=4, kvh=2, d=32)  # rows 2048 <= 4096
+        seg = jnp.asarray([[0, 700] + [int(fa.SEG_PAD)] * 6], jnp.int32)
+        out = fa.flash_attention(q, k, v, causal=True, seg_starts=seg)
+        ref = fa.mha_reference(q, k, v, causal=True, seg_starts=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        gf = jax.grad(lambda a, b_, c: (fa.flash_attention(
+            a, b_, c, causal=True, seg_starts=seg) ** 2).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda a, b_, c: (fa.mha_reference(
+            a, b_, c, causal=True, seg_starts=seg) ** 2).sum(),
+            argnums=(0, 1, 2))(q, k, v)
+        for x, y in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-4, rtol=1e-4)

@@ -966,12 +966,20 @@ def flash_attention(
         # masking is correct under ANY row tiling, so block_q here tiles the
         # folded [groups*S] rows (default: all of them — one tall matmul).
         qf = qt.reshape(b, kv_heads, groups * s, d)
-        if groups * s <= FOLD_MAX_ROWS:
-            default_bq, default_bk = groups * s, _pick_block(s, target=512)
-        else:
-            # row-tiled folded one-shot: one group per row tile, whole KV in
-            # one tile (scratch-free kernels + the self-contained fused bwd)
+        if groups * s <= FOLD_MAX_ROWS and _pick_block(s, target=512) == s:
+            # whole-rows one-shot (s <= 512): one tall matmul per (b, kvh),
+            # KV in one tile — the measured 0.5B S=512 winner
+            default_bq, default_bk = groups * s, s
+        elif s <= FOLD_ONESHOT_MAX_S:
+            # row-tiled folded one-shot: one GROUP per row tile, whole KV in
+            # one tile (scratch-free kernels + self-contained fused bwd).
+            # Preferred over whole-rows + kv tiles at s >= 1024: the online-
+            # softmax fold measured 22% slower at 0.5B (sweep_packed.py C),
+            # and its backward's [rows, bk] f32 tiles VMEM-OOM at d=128
+            # (8B packed: 20.6 MB > 16 MB).
             default_bq = default_bk = s
+        else:
+            default_bq, default_bk = groups * s, _pick_block(s, target=512)
         bq = block_q or FOLD_BLOCK_Q or default_bq
         if block_q is None and (groups * s) % bq:
             bq = default_bq  # module-level override doesn't divide here

@@ -53,9 +53,20 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
 
     # k=1, every row trains: fold ids of -1 never match fold 0
     pseudo_fold = np.full(tb_train.n, -1, np.int32)
-    batches = make_fold_batches(pseudo_fold, 1, cfg.optim.batch_size,
-                                cfg.optim.epochs, cfg.data.seed,
-                                batch_multiple=cfg.mesh.data)
+    pack = None
+    if cfg.optim.pack:  # sequence packing (tst.data.packing)
+        from tst.data.packing import (make_packed_fold_batches,
+                                      pack_fold_datasets)
+
+        pack_len = int(cfg.optim.pack_len) or 2 * tb_train.seq_len
+        pack = pack_fold_datasets(tb_train, pseudo_fold, 1, pack_len)
+        batches = make_packed_fold_batches(
+            pack.n_rows, cfg.optim.batch_size, cfg.optim.epochs,
+            cfg.data.seed, batch_multiple=cfg.mesh.data)
+    else:
+        batches = make_fold_batches(pseudo_fold, 1, cfg.optim.batch_size,
+                                    cfg.optim.epochs, cfg.data.seed,
+                                    batch_multiple=cfg.mesh.data)
     t_max = int(max(
         np.max(tb_train.lengths - tb_train.answer_pos - 1),
         np.max(tb_eval.lengths - tb_eval.answer_pos - 1),
@@ -66,12 +77,21 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
         warmup_frac=cfg.optim.warmup_frac, weight_decay=cfg.optim.weight_decay,
         use_pallas=on_tpu, remat=cfg.model.remat, mesh=mesh, t_max=t_max,
         ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
+        packed=pack is not None,
     )
     lora, opt = trainer.init_state(jax.random.key(cfg.data.seed + 1))
-    tokens_tr, mask_tr, pos_tr = _device_data(tb_train, mesh)
-    lora, opt, tlog = trainer.fit(params, lora, opt, tokens_tr, mask_tr,
-                                  batches, all_pos=pos_tr,
-                                  log_every=cfg.log_every)
+    if pack is not None:
+        lora, opt, tlog = trainer.fit(
+            params, lora, opt, jnp.asarray(pack.tokens),
+            jnp.asarray(pack.loss_mask), batches,
+            all_pos=jnp.asarray(pack.answer_pos),
+            all_segs=jnp.asarray(pack.seg_starts), n_segs=pack.n_segs,
+            log_every=cfg.log_every)
+    else:
+        tokens_tr, mask_tr, pos_tr = _device_data(tb_train, mesh)
+        lora, opt, tlog = trainer.fit(params, lora, opt, tokens_tr, mask_tr,
+                                      batches, all_pos=pos_tr,
+                                      log_every=cfg.log_every)
 
     # blind-score the EVAL set with the trained adapter (all rows "held out")
     tokens_ev, _, pos_ev = _device_data(tb_eval, mesh)
