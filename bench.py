@@ -315,6 +315,47 @@ def main() -> None:
             except Exception as e:
                 print(f"8B k=5 leg skipped: {type(e).__name__}: {e}",
                       file=sys.stderr)
+            # ── packed 8B legs: the model is compute-bound (MFU 0.75), so
+            # fill 0.61 → 0.90 converts ~1:1 into samples/s — measured
+            # 13.9 vs 10.4 (k=2 dots) and 12.1 vs 8.5 (k=5 attn) on one
+            # v5e (scripts/sweep_8b_packed.py); rows/fold > 1 at pack_len
+            # 1024 compile-OOMs (21 GB), so B=1 is the point ──
+            try:
+                from tst.data.packing import (make_packed_fold_batches,
+                                              pack_fold_datasets)
+                for kk, rem, key in ((2, "dots", "packed_samples_per_s"),
+                                     (5, "attn", "k5_packed_samples_per_s")):
+                    fid8 = kfold_assign(ds, kk, seed=0)
+                    fp8 = pack_fold_datasets(tb, fid8, kk, 2 * SEQ)
+                    pb8 = make_packed_fold_batches(fp8.n_rows, 1, epochs=20,
+                                                   seed=0)
+                    trp8 = FoldTrainer(spec8, lspec8, k=kk, lr=1e-4,
+                                       total_steps=10, use_pallas=True,
+                                       remat=rem, t_max=t_max, packed=True)
+                    lorap8, optp8 = trp8.init_state(jax.random.key(1))
+                    ptok = jnp.asarray(fp8.tokens)
+                    pmask = jnp.asarray(fp8.loss_mask)
+                    ppos = jnp.asarray(fp8.answer_pos)
+                    psegs = jnp.asarray(fp8.seg_starts)
+                    for t in range(2):
+                        lorap8, optp8, lossp8 = trp8._step_fn(
+                            params8, lorap8, optp8, ptok, pmask, ppos,
+                            psegs, jnp.asarray(pb8[t]))
+                    np.asarray(lossp8)
+                    idx8 = np.asarray(pb8[2:8])
+                    fold_ax = np.arange(kk)[None, :, None]
+                    nsamp = int(fp8.n_segs[fold_ax, idx8].sum())
+                    t0 = time.perf_counter()
+                    for t in range(2, 8):
+                        lorap8, optp8, lossp8 = trp8._step_fn(
+                            params8, lorap8, optp8, ptok, pmask, ppos,
+                            psegs, jnp.asarray(pb8[t]))
+                    np.asarray(lossp8)
+                    llama8b[key] = nsamp / (time.perf_counter() - t0)
+                    del lorap8, optp8
+            except Exception as e:
+                print(f"8B packed legs skipped: {type(e).__name__}: {e}",
+                      file=sys.stderr)
             finally:
                 del params8
         except Exception as e:  # never fail the primary metric
@@ -544,6 +585,12 @@ def main() -> None:
         if "k5_samples_per_s" in llama8b:
             out["llama3_8b_k5_fold_parallel_samples_per_sec_per_chip"] = round(
                 llama8b["k5_samples_per_s"] / max(n_chips, 1), 3)
+        if "packed_samples_per_s" in llama8b:
+            out["llama3_8b_packed_samples_per_sec_per_chip"] = round(
+                llama8b["packed_samples_per_s"] / max(n_chips, 1), 3)
+        if "k5_packed_samples_per_s" in llama8b:
+            out["llama3_8b_k5_packed_samples_per_sec_per_chip"] = round(
+                llama8b["k5_packed_samples_per_s"] / max(n_chips, 1), 3)
     if longseq is not None:
         out["longseq_tokens_per_s"] = longseq["tokens_per_s"]
         out["longseq_len"] = longseq["seq_len"]

@@ -10,7 +10,9 @@ on the ONE v5e this environment has:
 and prints the walls; docs/RESULTS.md derives the v5p-16 projection from
 them (fold/data-axis scaling model — zero cross-fold collectives).
 
-Run: python scripts/northstar_anchor.py [n_05b] [n_8b]
+Run: python scripts/northstar_anchor.py [n_05b] [n_8b] [pack]
+  n_8b=0 skips the 8B leg; a literal "pack" third arg runs the 0.5B leg
+  with sequence packing (optim.pack, loss/grad-exact — RESULTS.md).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ import time
 
 N_05B = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
 N_8B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+PACK = "pack" in sys.argv[3:]
 
 
 def run(tag, args):
@@ -48,19 +51,26 @@ def run(tag, args):
 
 
 def main():
-    run("0.5b_vsi5k_k5", [
+    leg05 = [
         "diagnose-sft", "--bench", "synthetic-vsi:0.4", "--k", "5",
         "--set", f"data.n={N_05B}", "--set", "model.name=qwen2.5-0.5b",
         "--set", "optim.epochs=3", "--set", "optim.batch_size=4",
         "--set", 'model.remat="dots"', "--out", "/tmp/ns_05b",
-    ])
-    run("8b_int8_k5", [
-        "diagnose-sft", "--bench", "synthetic-vsi:0.4", "--k", "5",
-        "--set", f"data.n={N_8B}", "--set", "model.name=llama3-8b",
-        "--set", "model.quantize=int8", "--set", "model.remat=true",
-        "--set", "optim.epochs=2", "--set", "optim.batch_size=2",
-        "--out", "/tmp/ns_8b",
-    ])
+    ]
+    if PACK:
+        # packed rows carry ~3 samples each; batch 3 rows/fold ~= the
+        # unpacked 4×512 token budget (bench.py packed leg shape)
+        leg05[leg05.index("optim.batch_size=4")] = "optim.batch_size=3"
+        leg05 += ["--set", "optim.pack=true", "--set", "optim.pack_len=1024"]
+    run("0.5b_vsi5k_k5" + ("_packed" if PACK else ""), leg05)
+    if N_8B > 0:
+        run("8b_int8_k5", [
+            "diagnose-sft", "--bench", "synthetic-vsi:0.4", "--k", "5",
+            "--set", f"data.n={N_8B}", "--set", "model.name=llama3-8b",
+            "--set", "model.quantize=int8", "--set", "model.remat=true",
+            "--set", "optim.epochs=2", "--set", "optim.batch_size=2",
+            "--out", "/tmp/ns_8b",
+        ])
 
 
 if __name__ == "__main__":
