@@ -109,32 +109,55 @@ def clear():
 
 
 
-#: (label, pack_len or None=unpacked, batch, (fold_max, fold_bq, fold_bk))
+#: (label, pack_len or None=unpacked, batch,
+#:  (fold_max, fold_bq, fold_bk) or None,
+#:  (seg_sparse_min_s, seg_bq, seg_bk) or None)
+_OFF = 1 << 30  # SEG_SPARSE_MIN_S value that disables the sparse schedule
 _CASES = {
-    "A": ("unpacked B=4 S=512 (baseline)", None, 4, None),
-    "B": ("packed 1024 B=2 (auto: tiled one-shot)", 1024, 2, None),
+    "A": ("unpacked B=4 S=512 (baseline)", None, 4, None, None),
+    "B": ("packed 1024 B=2 (tiled one-shot)", 1024, 2, None, (_OFF, None, None)),
     "C": ("packed 1024 B=2 (folded, online-softmax kv tiles)", 1024, 2,
-          (8192, 1024, None)),
+          (8192, 1024, None), (_OFF, None, None)),
     "D": ("packed 1024 B=2 (folded one-shot, group row tiles)", 1024, 2,
-          (8192, 1024, 1024)),
-    "E": ("packed 1024 B=3 (auto)", 1024, 3, None),
-    "F": ("packed 1024 B=3 (folded one-shot)", 1024, 3, (8192, 1024, 1024)),
-    "G": ("packed 1024 B=4 (folded one-shot)", 1024, 4, (8192, 1024, 1024)),
+          (8192, 1024, 1024), (_OFF, None, None)),
+    "E": ("packed 1024 B=3 (one-shot, sparse OFF)", 1024, 3, None,
+          (_OFF, None, None)),
+    "F": ("packed 1024 B=3 (folded one-shot)", 1024, 3, (8192, 1024, 1024),
+          (_OFF, None, None)),
+    "G": ("packed 1024 B=4 (folded one-shot)", 1024, 4, (8192, 1024, 1024),
+          (_OFF, None, None)),
     "H": ("packed 2048 B=1 (folded one-shot, 512-row tiles)", 2048, 1,
-          (16384, 512, 2048)),
+          (16384, 512, 2048), (_OFF, None, None)),
     "I": ("packed 2048 B=2 (folded one-shot, 512-row tiles)", 2048, 2,
-          (16384, 512, 2048)),
+          (16384, 512, 2048), (_OFF, None, None)),
     "J": ("packed 1024 B=3 (folded one-shot, 2-group row tiles)", 1024, 3,
-          (8192, 2048, 1024)),
+          (8192, 2048, 1024), (_OFF, None, None)),
     "K": ("packed 1024 B=3 (folded one-shot, 512-row tiles)", 1024, 3,
-          (8192, 512, 1024)),
+          (8192, 512, 1024), (_OFF, None, None)),
+    # segment-sparse CHUNKED one-shot (round 4): position-contiguous row
+    # tiles bq, whole KV in VMEM, [bq, chunk] column chunks skipped when
+    # outside the tile's segment window. seg_knobs = (min_s, bq, chunk).
+    "L": ("packed 1024 B=3 chunked bq=128 ck=128", 1024, 3, None, (1024, 128, 128)),
+    "M": ("packed 1024 B=3 chunked bq=256 ck=256", 1024, 3, None, (1024, 256, 256)),
+    "N": ("packed 1024 B=3 chunked bq=512 ck=512", 1024, 3, None, (1024, 512, 512)),
+    "P": ("packed 1024 B=3 chunked bq=256 ck=128", 1024, 3, None, (1024, 256, 128)),
+    "Q": ("packed 1024 B=3 chunked bq=512 ck=256", 1024, 3, None, (1024, 512, 256)),
+    "R": ("packed 1024 B=4 chunked (best tiles: edit me)", 1024, 4, None,
+          (1024, 256, 256)),
+    "S": ("packed 2048 B=1 chunked bq=256 ck=256", 2048, 1, None, (1024, 256, 256)),
+    "T": ("packed 2048 B=2 chunked bq=256 ck=256", 2048, 2, None, (1024, 256, 256)),
 }
 
 for letter in VARIANTS:
-    label, pack_len, batch, fold_knobs = _CASES[letter]
+    if letter not in _CASES:
+        print(f"unknown variant {letter!r} — skipping", flush=True)
+        continue
+    label, pack_len, batch, fold_knobs, seg_knobs = _CASES[letter]
     clear()
     if fold_knobs is not None:
         fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = fold_knobs
+    if seg_knobs is not None:
+        fa.SEG_SPARSE_MIN_S, fa.SEG_BLOCK_Q, fa.SEG_CHUNK = seg_knobs
     print(f"{letter}. {label}", flush=True)
     if pack_len is None:
         sps, dt = run_unpacked(batch)
@@ -142,3 +165,4 @@ for letter in VARIANTS:
         sps, dt = run_packed(pack_len, batch)
     print(f"  -> {sps:.1f} samples/s  step {dt*1e3:.1f} ms", flush=True)
     fa.FOLD_MAX_ROWS, fa.FOLD_BLOCK_Q, fa.FOLD_BLOCK_K = 4096, None, None
+    fa.SEG_SPARSE_MIN_S, fa.SEG_BLOCK_Q, fa.SEG_CHUNK = 1024, None, None
