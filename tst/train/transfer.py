@@ -28,7 +28,8 @@ from tst.data.tokenize import tokenize_dataset
 from tst.eval import metrics
 from tst.models.lora import LoraSpec
 from tst.runtime import mesh as mesh_mod
-from tst.train.infer import score_heldout_mcq
+from tst.train.infer import (score_heldout_mcq, score_heldout_numeric,
+                             score_heldout_open)
 from tst.train.pipeline import (_device_data, build_model, build_tokenizer,
                                 lora_spec_from_cfg)
 from tst.train.sft import FoldTrainer, make_fold_batches
@@ -93,18 +94,64 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
                                       batches, all_pos=pos_tr,
                                       log_every=cfg.log_every)
 
-    # blind-score the EVAL set with the trained adapter (all rows "held out")
+    # blind-score the EVAL set with the trained adapter (all rows "held
+    # out") AND zero-shot (lora=None) — the experiment's claim IS the delta
+    # between the two (VERDICT r3 weak #4), so the report carries both.
+    # VSI-shaped eval sets are ~25% numeric and MMMU has open rows: decode
+    # those legs too (VERDICT r3 missing #2) instead of silently scoring
+    # the MCQ subset only.
     tokens_ev, _, pos_ev = _device_data(tb_eval, mesh)
-    probs = score_heldout_mcq(
-        params, lora, spec, lspec, tokens_ev, pos_ev,
-        tb_eval.option_token_ids, tb_eval.n_options,
-        fold_id=np.zeros(tb_eval.n, np.int32), k=1, use_pallas=on_tpu,
-        option_seqs=tb_eval.option_token_seqs,
-    )
-    pred = probs.argmax(-1).astype(np.int32)
-    blind_acc = float(metrics.accuracy(pred, tb_eval.gold))
+    eval_fold0 = np.zeros(tb_eval.n, np.int32)
+
+    def _score_all(lora_or_none, lspec_or_none):
+        leg: Dict[str, Any] = {}
+        if int(np.max(tb_eval.n_options, initial=0)) > 0:
+            probs = score_heldout_mcq(
+                params, lora_or_none, spec, lspec_or_none, tokens_ev, pos_ev,
+                tb_eval.option_token_ids, tb_eval.n_options,
+                fold_id=eval_fold0, k=1, use_pallas=on_tpu,
+                option_seqs=tb_eval.option_token_seqs,
+            )
+            pred = probs.argmax(-1).astype(np.int32)
+            mcq_rows = np.asarray(tb_eval.n_options) > 0
+            leg["blind_accuracy"] = float(metrics.accuracy(
+                pred[mcq_rows], tb_eval.gold[mcq_rows]))
+            leg["n_mcq"] = int(mcq_rows.sum())
+        gold_values = np.asarray(
+            [s.answer_value if s.answer_type == "numeric" else np.nan
+             for s in eval_ds], np.float64)
+        if np.isfinite(gold_values).any():
+            pred_values, _ = score_heldout_numeric(
+                params, lora_or_none, spec, lspec_or_none, tokens_ev, pos_ev,
+                gold_values, fold_id=eval_fold0, k=1, tokenizer=tokenizer,
+                use_pallas=on_tpu,
+            )
+            leg["numeric_blind_mra"] = round(
+                float(metrics.mra(np.nan_to_num(pred_values), gold_values)), 4)
+            leg["n_numeric"] = int(np.isfinite(gold_values).sum())
+        gold_texts = [s.answer if s.answer_type == "open" else None
+                      for s in eval_ds]
+        if any(g is not None for g in gold_texts):
+            _, s_open = score_heldout_open(
+                params, lora_or_none, spec, lspec_or_none, tokens_ev, pos_ev,
+                gold_texts, fold_id=eval_fold0, k=1, tokenizer=tokenizer,
+                use_pallas=on_tpu,
+            )
+            leg["open_blind_accuracy"] = round(float(np.nanmean(s_open)), 4)
+            leg["n_open"] = int(sum(g is not None for g in gold_texts))
+        return leg
+
+    post = _score_all(lora, lspec)
+    zero = _score_all(None, None)
+    blind_acc = post.get("blind_accuracy", 0.0)
     chance = float(metrics.chance_accuracy(tb_eval.n_options))
     report = metrics.blind_report(blind_acc, chance, name=eval_ds.name)
+    report.update(post)
+    report.update({f"zero_shot_{k_}": v for k_, v in zero.items()})
+    for key in ("blind_accuracy", "numeric_blind_mra", "open_blind_accuracy"):
+        if key in post and f"zero_shot_{key}" in report:
+            report[f"transfer_delta_{key}"] = round(
+                post[key] - report[f"zero_shot_{key}"], 4)
     report.update(
         experiment="train_transfer",
         train_benchmark=train_ds.name,
