@@ -165,3 +165,97 @@ class TestIBPScoreEpochs:
         rep = run_ibp(ds, cfg)
         assert rep["rounds_run"] >= 1
         assert rep["per_round"][0]["blind_accuracy"] > 0.4
+
+
+def _numeric_cfg(out_dir, rounds=3):
+    cfg = RunConfig()
+    cfg.data.k = 2
+    cfg.model.name = "tiny"
+    cfg.model.dtype = "float32"
+    cfg.model.use_pallas = False
+    cfg.lora.rank = 4
+    cfg.lora.alpha = 8.0
+    cfg.lora.targets = ("q_proj", "v_proj")
+    cfg.optim.lr = 5e-3
+    cfg.optim.epochs = 6
+    cfg.optim.batch_size = 4  # n=48, k=2: enough steps to learn the prior
+    cfg.ibp.diagnostic = "sft"
+    cfg.ibp.rounds = rounds
+    cfg.ibp.prune_rate = 0.25
+    cfg.ibp.stop_epsilon = 0.05
+    cfg.out_dir = out_dir
+    return cfg
+
+
+@pytest.mark.slow
+class TestIBPNumeric:
+    """Numeric-only debiasing (VERDICT r3 missing #3): the stop rule must
+    use the numeric MRA-vs-chance signal — previously the degenerate MCQ
+    accuracy (0 <= 0 + eps) stopped the loop at round 0 having pruned
+    nothing, making debias-ibp a silent no-op on numeric benchmarks."""
+
+    def test_prunes_constant_answer_prior(self):
+        from tst.data.synthetic import make_synthetic_numeric
+
+        ds = make_synthetic_numeric(n=48, bias_fraction=0.75, seed=0)
+        rep = run_ibp(ds, _numeric_cfg(tempfile.mkdtemp()))
+        # round 0 must run, exploit the constant prior, and prune
+        assert rep["rounds_run"] >= 2, rep
+        r0 = rep["per_round"][0]
+        assert r0["numeric_mra"] > r0["numeric_chance_mra"] + 0.05, r0
+        assert rep["fraction_kept"] < 1.0
+        assert rep["stop_reason"] == "numeric_mra<=chance+eps"
+
+    def test_unbiased_numeric_stops_without_pruning(self):
+        from tst.data.synthetic import make_synthetic_numeric
+
+        ds = make_synthetic_numeric(n=48, bias_fraction=0.0, seed=1)
+        rep = run_ibp(ds, _numeric_cfg(tempfile.mkdtemp()))
+        assert rep["fraction_kept"] == 1.0
+        assert rep["per_round"][0]["numeric_chance_mra"] > 0.0
+
+
+@pytest.mark.slow
+class TestIBPResume:
+    """IBP round-level checkpoint/resume (SURVEY §5: "IBP resumes mid-loop
+    from (round, surviving mask)" — VERDICT r3 missing #4): a run killed
+    after round r resumes at round r+1 and produces the identical split."""
+
+    def test_resume_after_injected_failure(self):
+        from tst.data.schema import BlindDataset
+        from tst.data.synthetic import make_synthetic_numeric
+
+        ds = make_synthetic_numeric(n=48, bias_fraction=0.75, seed=0)
+        ref_dir, res_dir = tempfile.mkdtemp(), tempfile.mkdtemp()
+        ref = run_ibp(ds, _numeric_cfg(ref_dir))  # uninterrupted reference
+
+        import os
+
+        cfg = _numeric_cfg(res_dir)
+        cfg.ibp.fail_after_rounds = 1
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_ibp(ds, cfg)
+        assert os.path.exists(f"{res_dir}/ibp_state.json")
+        cfg.ibp.fail_after_rounds = 0
+        rep = run_ibp(ds, cfg)
+        assert rep["resumed_from_round"] == 1
+        assert not os.path.exists(f"{res_dir}/ibp_state.json")  # cleaned up
+        kept_ref = [s.id for s in BlindDataset.load_jsonl(f"{ref_dir}/debiased.jsonl")]
+        kept_res = [s.id for s in BlindDataset.load_jsonl(f"{res_dir}/debiased.jsonl")]
+        assert kept_ref == kept_res
+        assert rep["per_round"] == ref["per_round"]
+
+    def test_config_mismatch_starts_fresh(self):
+        from tst.data.synthetic import make_synthetic_numeric
+
+        ds = make_synthetic_numeric(n=48, bias_fraction=0.75, seed=0)
+        out = tempfile.mkdtemp()
+        cfg = _numeric_cfg(out)
+        cfg.ibp.fail_after_rounds = 1
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_ibp(ds, cfg)
+        # a different prune_rate invalidates the persisted trajectory
+        cfg2 = _numeric_cfg(out)
+        cfg2.ibp.prune_rate = 0.5
+        rep = run_ibp(ds, cfg2)
+        assert rep["resumed_from_round"] is None

@@ -105,6 +105,13 @@ class IBPConfig:
     category_balanced: bool = True
     stop_epsilon: float = 0.02  # stop when blind_acc <= chance + eps
     diagnostic: str = "sft"  # "sft" | "rf"
+    #: resume a killed run from out_dir/ibp_state.json (written after every
+    #: round; SURVEY §5 failure recovery — at north-star scale one 8B round
+    #: costs tens of minutes). The state is keyed by benchmark + a config
+    #: hash: a mismatch starts fresh instead of resuming someone else's loop.
+    resume: bool = True
+    #: fault injection for tests: raise after persisting this many rounds
+    fail_after_rounds: int = 0
 
 
 @dataclasses.dataclass
