@@ -254,7 +254,12 @@ def main() -> None:
             tr8 = FoldTrainer(spec8, lspec8, k=2, lr=1e-4, total_steps=10,
                               use_pallas=True, remat="dots", t_max=t_max)
             lora8, opt8 = tr8.init_state(jax.random.key(1))
-            b8 = make_fold_batches(fold_id, 2, 2, epochs=10, seed=0)
+            # a real 2-fold assignment, shared with the packed k=2 leg below
+            # so packed-vs-unpacked deltas compare identical splits (ADVICE
+            # r3: reusing the K=5 fold_id here trained on ~4/5 of the rows
+            # while the packed leg trained on ~1/2)
+            fid2 = kfold_assign(ds, 2, seed=0)
+            b8 = make_fold_batches(fid2, 2, 2, epochs=10, seed=0)
             t0 = time.perf_counter()
             lora8, opt8, loss8 = tr8._step_fn(params8, lora8, opt8, tokens,
                                               mask, pos, jnp.asarray(b8[0]))
@@ -325,7 +330,7 @@ def main() -> None:
                                               pack_fold_datasets)
                 for kk, rem, key in ((2, "dots", "packed_samples_per_s"),
                                      (5, "attn", "k5_packed_samples_per_s")):
-                    fid8 = kfold_assign(ds, kk, seed=0)
+                    fid8 = fid2 if kk == 2 else kfold_assign(ds, kk, seed=0)
                     fp8 = pack_fold_datasets(tb, fid8, kk, 2 * SEQ)
                     pb8 = make_packed_fold_batches(fp8.n_rows, 1, epochs=20,
                                                    seed=0)
@@ -378,7 +383,10 @@ def main() -> None:
             params4 = init_params(jax.random.key(0), spec8, quantize=True,
                                   bits=4)
             loop8 = layer_loop_for(spec8)
-            D8B, D8_NEW, D8_SHORT = 16, 16, 4
+            # B=32 is the best measured serving config (2,255 tok/s vs
+            # 1,370 at B=16 — docs/RESULTS.md 8B serving table; VERDICT r3
+            # weak #3: the tracked JSON under-reported the repo's own best)
+            D8B, D8_NEW, D8_SHORT = 32, 16, 4
             rows8 = np.arange(D8B) % tokens.shape[0]
             dt8_, dl8 = tokens[rows8], pos[rows8] + 1
             f8 = jax.jit(lambda prm, t, pl_: greedy_decode(

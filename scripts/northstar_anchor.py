@@ -51,26 +51,34 @@ def run(tag, args):
 
 
 def main():
+    # packed rows carry ~3 samples each; batch 3 rows/fold ~= the
+    # unpacked 4×512 token budget (bench.py packed leg shape)
+    bs05 = 3 if PACK else 4
     leg05 = [
         "diagnose-sft", "--bench", "synthetic-vsi:0.4", "--k", "5",
         "--set", f"data.n={N_05B}", "--set", "model.name=qwen2.5-0.5b",
-        "--set", "optim.epochs=3", "--set", "optim.batch_size=4",
+        "--set", "optim.epochs=3", "--set", f"optim.batch_size={bs05}",
         "--set", 'model.remat="dots"', "--out", "/tmp/ns_05b",
     ]
     if PACK:
-        # packed rows carry ~3 samples each; batch 3 rows/fold ~= the
-        # unpacked 4×512 token budget (bench.py packed leg shape)
-        leg05[leg05.index("optim.batch_size=4")] = "optim.batch_size=3"
         leg05 += ["--set", "optim.pack=true", "--set", "optim.pack_len=1024"]
     run("0.5b_vsi5k_k5" + ("_packed" if PACK else ""), leg05)
     if N_8B > 0:
-        run("8b_int8_k5", [
+        # the SHIPPED best 8B config (VERDICT r3 weak #2: the anchored leg
+        # ran full-remat unpacked at 5.05 samples/s while the repo's own
+        # round-3 campaigns measured attn-remat + packing at 12.1):
+        # attn remat + pack_len 1024 + B=1 rows/fold (B>1 compile-OOMs)
+        leg8 = [
             "diagnose-sft", "--bench", "synthetic-vsi:0.4", "--k", "5",
             "--set", f"data.n={N_8B}", "--set", "model.name=llama3-8b",
-            "--set", "model.quantize=int8", "--set", "model.remat=true",
-            "--set", "optim.epochs=2", "--set", "optim.batch_size=2",
+            "--set", "model.quantize=int8", "--set", 'model.remat="attn"',
+            "--set", "optim.epochs=2", "--set", "optim.batch_size=1",
             "--out", "/tmp/ns_8b",
-        ])
+        ]
+        if PACK:
+            leg8 += ["--set", "optim.pack=true",
+                     "--set", "optim.pack_len=1024"]
+        run("8b_int8_k5" + ("_packed" if PACK else ""), leg8)
 
 
 if __name__ == "__main__":

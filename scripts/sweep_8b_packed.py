@@ -119,6 +119,9 @@ _CASES = {
 }
 
 for letter in VARIANTS:
+    if letter not in _CASES:
+        print(f"unknown variant {letter!r} — skipping", flush=True)
+        continue
     label, k, pack_len, batch, remat = _CASES[letter]
     sft_mod._STEP_CACHE.clear()
     jax.clear_caches()

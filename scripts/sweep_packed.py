@@ -146,6 +146,10 @@ _CASES = {
           (1024, 256, 256)),
     "S": ("packed 2048 B=1 chunked bq=256 ck=256", 2048, 1, None, (1024, 256, 256)),
     "T": ("packed 2048 B=2 chunked bq=256 ck=256", 2048, 2, None, (1024, 256, 256)),
+    "U": ("packed 2048 B=1 chunked bq=512 ck=512", 2048, 1, None, (1024, 512, 512)),
+    "V": ("packed 2048 B=2 chunked bq=512 ck=512", 2048, 2, None, (1024, 512, 512)),
+    "W": ("packed 2048 B=2 chunked bq=512 ck=256", 2048, 2, None, (1024, 512, 256)),
+    "X": ("packed 2048 B=3 chunked bq=512 ck=512", 2048, 3, None, (1024, 512, 512)),
 }
 
 for letter in VARIANTS:
