@@ -61,7 +61,7 @@ class TestGreedyDecode:
                              lora=lora, lspec=lspec)
         np.testing.assert_array_equal(got, want)
 
-    def test_unroll_layer_loop_matches_scan(self):
+    def test_unroll_layer_loop_matches_scan(self, monkeypatch):
         # LAYER_LOOP="unroll" is the fast decode path on small models
         # (static per-layer cache offsets fuse; measured 3.42 -> 2.83
         # ms/step at 0.5B) — it must stay bit-identical to the scan form,
@@ -80,16 +80,13 @@ class TestGreedyDecode:
         tokens[1, :11] = (np.arange(11) * 7) % 250
         prompt_len = jnp.array([20, 11], jnp.int32)
         assert D.LAYER_LOOP == "scan"  # module default
-        try:
-            want = np.asarray(greedy_decode(
-                params, jnp.asarray(tokens), prompt_len, 5, spec,
-                lora=lora, lora_spec=lspec))
-            D.LAYER_LOOP = "unroll"
-            got = np.asarray(greedy_decode(
-                params, jnp.asarray(tokens), prompt_len, 5, spec,
-                lora=lora, lora_spec=lspec))
-        finally:
-            D.LAYER_LOOP = "scan"
+        want = np.asarray(greedy_decode(
+            params, jnp.asarray(tokens), prompt_len, 5, spec,
+            lora=lora, lora_spec=lspec))
+        monkeypatch.setattr(D, "LAYER_LOOP", "unroll")
+        got = np.asarray(greedy_decode(
+            params, jnp.asarray(tokens), prompt_len, 5, spec,
+            lora=lora, lora_spec=lspec))
         np.testing.assert_array_equal(got, want)
 
     def test_pad_to_too_small_rejected(self):

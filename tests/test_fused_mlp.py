@@ -63,28 +63,25 @@ class TestGrad:
 
 
 class TestDecoderIntegration:
-    def test_pallas_mlp_in_model(self):
+    def test_pallas_mlp_in_model(self, monkeypatch):
         """use_pallas routes MLP through the fused kernel (qkvo LoRA only)."""
         import tst.kernels.flash_attention as fa
 
         from tst.models.decoder import apply_model, init_params, spec_by_name
         from tst.models.lora import LoraSpec, init_lora
 
-        fa._INTERPRET = True
-        try:
-            spec = spec_by_name("tiny", dtype=jnp.float32)
-            lspec = LoraSpec(rank=2, dtype=jnp.float32)
-            params = init_params(jax.random.key(0), spec)
-            lora = init_lora(jax.random.key(1), spec, lspec)
-            tokens = jnp.arange(128, dtype=jnp.int32)[None, :] % 300
-            ref = apply_model(params, tokens, spec, lora=lora, lora_spec=lspec,
-                              use_pallas=False)
-            out = apply_model(params, tokens, spec, lora=lora, lora_spec=lspec,
-                              use_pallas=True, fused_mlp=True)
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                       atol=2e-3, rtol=1e-3)
-        finally:
-            fa._INTERPRET = False
+        monkeypatch.setattr(fa, "_INTERPRET", True)
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        lspec = LoraSpec(rank=2, dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        lora = init_lora(jax.random.key(1), spec, lspec)
+        tokens = jnp.arange(128, dtype=jnp.int32)[None, :] % 300
+        ref = apply_model(params, tokens, spec, lora=lora, lora_spec=lspec,
+                          use_pallas=False)
+        out = apply_model(params, tokens, spec, lora=lora, lora_spec=lspec,
+                          use_pallas=True, fused_mlp=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3)
 
 
 class TestConfigWiring:

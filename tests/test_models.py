@@ -58,7 +58,7 @@ class TestDecoderBasics:
         l2 = apply_model(params, tokens, spec, remat=True)
         np.testing.assert_allclose(l1, l2, atol=1e-5)
 
-    def test_unroll_layer_loop_matches_scan(self):
+    def test_unroll_layer_loop_matches_scan(self, monkeypatch):
         """LAYER_LOOP='unroll' (Python loop over layers) must be numerically
         identical to the default lax.scan path, for logits, KV stacks, and
         gradients (the unroll exists purely to change XLA's remat-save
@@ -76,13 +76,10 @@ class TestDecoderBasics:
                                              return_kv=True)
         g_scan = jax.grad(loss)(params)
         assert decoder.LAYER_LOOP == "scan"
-        decoder.LAYER_LOOP = "unroll"
-        try:
-            h_un, k_un, v_un = apply_model(params, tokens, spec,
-                                           return_kv=True)
-            g_un = jax.grad(loss)(params)
-        finally:
-            decoder.LAYER_LOOP = "scan"
+        monkeypatch.setattr(decoder, "LAYER_LOOP", "unroll")
+        h_un, k_un, v_un = apply_model(params, tokens, spec,
+                                       return_kv=True)
+        g_un = jax.grad(loss)(params)
         # atol covers XLA fusion-order noise: an unrolled loop and a scan
         # body legally compile to different fusion schedules on CPU.
         np.testing.assert_allclose(h_scan, h_un, atol=5e-6)

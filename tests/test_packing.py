@@ -19,11 +19,8 @@ jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(autouse=True)
-def _interpret():
-    old = fa._INTERPRET
-    fa._INTERPRET = True
-    yield
-    fa._INTERPRET = old
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fa, "_INTERPRET", True)
 
 
 def _qkv(b=2, s=256, h=4, kvh=2, d=64, seed=0, dtype=jnp.float32):
@@ -87,25 +84,22 @@ class TestSegmentedKernelParity:
     @pytest.mark.parametrize("blocks", [None, (128, 128)],
                              ids=["folded", "tiled"])
     @pytest.mark.parametrize("fused", [True, False], ids=["fused", "split"])
-    def test_grads_match_reference(self, blocks, fused):
+    def test_grads_match_reference(self, blocks, fused, monkeypatch):
         q, k, v = _qkv()
         seg = _starts()
         kw = {} if blocks is None else {"block_q": blocks[0], "block_k": blocks[1]}
-        old = fa.FUSED_BWD
-        fa.FUSED_BWD = fused
-        try:
-            def loss_f(q, k, v):
-                return (fa.flash_attention(
-                    q, k, v, causal=True, seg_starts=seg, **kw) ** 2).sum()
+        monkeypatch.setattr(fa, "FUSED_BWD", fused)
 
-            def loss_r(q, k, v):
-                return (fa.mha_reference(
-                    q, k, v, causal=True, seg_starts=seg) ** 2).sum()
+        def loss_f(q, k, v):
+            return (fa.flash_attention(
+                q, k, v, causal=True, seg_starts=seg, **kw) ** 2).sum()
 
-            gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
-            gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
-        finally:
-            fa.FUSED_BWD = old
+        def loss_r(q, k, v):
+            return (fa.mha_reference(
+                q, k, v, causal=True, seg_starts=seg) ** 2).sum()
+
+        gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)

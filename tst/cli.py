@@ -66,6 +66,9 @@ def _resolve(args) -> RunConfig:
         cfg.data.seed = args.seed
     if args.out is not None:
         cfg.out_dir = args.out
+    from tst.runtime.knobs import apply_perf_config
+
+    apply_perf_config(cfg.perf)  # --set perf.* → kernel/dispatch knobs
     return cfg
 
 

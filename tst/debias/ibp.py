@@ -248,6 +248,7 @@ def _ibp_config_hash(ds: BlindDataset, cfg: RunConfig) -> str:
     blob.pop("out_dir", None)
     blob.pop("profile_dir", None)
     blob.pop("log_every", None)
+    blob.pop("perf", None)  # kernel tuning changes speed, not trajectory
     key = json.dumps({"cfg": blob, "bench": ds.name, "n": len(ds)},
                      sort_keys=True)
     return hashlib.sha1(key.encode()).hexdigest()[:12]

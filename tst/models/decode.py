@@ -52,9 +52,16 @@ LAYER_LOOP = "scan"
 # unrolled: compile 23.6 s, runs clean).
 _UNROLL_MAX_LAYERS = 32
 
+#: "auto" | "scan" | "unroll" — per-run override of ``layer_loop_for``'s
+#: measured-safe gate (config ``perf.decode_layer_loop``, applied by
+#: tst.runtime.knobs).
+LAYER_LOOP_MODE = "auto"
+
 
 def layer_loop_for(spec) -> str:
     """The fastest measured-safe decode layer loop for a model geometry."""
+    if LAYER_LOOP_MODE != "auto":
+        return LAYER_LOOP_MODE
     return "unroll" if spec.n_layers <= _UNROLL_MAX_LAYERS else "scan"
 
 
