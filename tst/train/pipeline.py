@@ -120,6 +120,7 @@ def _merge_logs(a, b):
     a.losses += b.losses
     a.fold_losses += b.fold_losses
     a.steps += b.steps
+    a.first_step_seconds += b.first_step_seconds
     a.wall_seconds += b.wall_seconds
     total_samples = (a.samples_per_sec * (a.wall_seconds - b.wall_seconds)
                      + b.samples_per_sec * b.wall_seconds)
@@ -478,6 +479,10 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         train_steps=tlog.steps,
         final_loss=tlog.losses[-1] if tlog.losses else None,
         train_wall_seconds=round(tlog.wall_seconds, 2),
+        # compile + first-step wall, summed over fit calls; fit #1 carries the
+        # XLA remote-compile wall on a cache miss (minutes) — subtract from
+        # train_wall_seconds for the steady-state throughput
+        train_first_step_seconds=round(tlog.first_step_seconds, 2),
         train_samples_per_sec=round(tlog.samples_per_sec, 2),
         wall_seconds=round(time.time() - t_start, 2),
     )

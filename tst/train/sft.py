@@ -219,6 +219,11 @@ class TrainLog:
     steps: int = 0
     wall_seconds: float = 0.0
     samples_per_sec: float = 0.0
+    # wall of the first step of each fit call, hard-synced: fit #1's entry is
+    # dominated by the XLA remote-compile wall (minutes on a cache miss —
+    # docs/RESULTS.md round-4 anchor decomposition), later entries are ~one
+    # steady step. Lets reports split compile wall from steady throughput.
+    first_step_seconds: float = 0.0
 
 
 class FoldTrainer:
@@ -432,6 +437,9 @@ class FoldTrainer:
                     jnp.asarray(batches[t])
                 )
             pending.append(loss)
+            if t == start_step:
+                np.asarray(loss)  # hard sync: capture compile + step-1 wall
+                log.first_step_seconds = time.time() - t0
             if (t + 1) % log_every == 0 or t == batches.shape[0] - 1:
                 fold_loss = np.asarray(pending[-1])  # sync point
                 mean = float(fold_loss.mean())
