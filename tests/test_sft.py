@@ -206,3 +206,62 @@ class TestDiagnosticSemantics:
         # numeric rows must carry a (finite) numeric s(x), MCQ rows a prob s(x)
         assert np.isfinite(s_x[gold_numeric]).all()
         assert np.isfinite(s_x[~gold_numeric]).all()
+
+
+class TestPackedScorer:
+    """Packed held-out MCQ scoring must reproduce the unpacked scorer's
+    probabilities exactly (segment isolation + per-segment RoPE restart make
+    a packed row a batch of independent samples)."""
+
+    def _setup(self, k=3, n=30, seed=0):
+        from tst.data.synthetic import make_synthetic_vsi
+
+        ds = make_synthetic_vsi(n=n, bias_fraction=0.5, seed=seed)
+        tb = tokenize_dataset(ds, ByteTokenizer(), max_len=256)
+        fid = kfold_assign(ds, k, seed)
+        spec = spec_by_name("tiny", dtype=jnp.float32)
+        params = init_params(jax.random.key(0), spec)
+        lspec = LoraSpec(rank=4, alpha=8.0, dtype=jnp.float32)
+        trainer = FoldTrainer(spec, lspec, k=k, lr=1e-3, total_steps=4)
+        lora, _ = trainer.init_state(jax.random.key(1))
+        return ds, tb, fid, spec, params, lspec, lora
+
+    def test_matches_unpacked(self):
+        from tst.train.infer import score_heldout_mcq_packed
+
+        ds, tb, fid, spec, params, lspec, lora = self._setup()
+        mcq_fold = np.where(tb.gold >= 0, fid, -1)
+        ref = score_heldout_mcq(
+            params, lora, spec, lspec, jnp.asarray(tb.tokens),
+            jnp.asarray(tb.answer_pos), tb.option_token_ids, tb.n_options,
+            mcq_fold, k=3,
+        )
+        got = score_heldout_mcq_packed(
+            params, lora, spec, lspec, tb, mcq_fold, k=3, pack_len=512,
+        )
+        is_mcq = tb.gold >= 0
+        assert is_mcq.any() and (~is_mcq).any()  # mixed set exercised
+        np.testing.assert_allclose(got[is_mcq], ref[is_mcq],
+                                   atol=2e-4, rtol=2e-4)
+        # numeric rows are never letter-scored on either path
+        assert (got[~is_mcq] == 0).all() and (ref[~is_mcq] == 0).all()
+        # every scored row is a distribution over its valid options
+        np.testing.assert_allclose(got[is_mcq].sum(-1), 1.0, atol=1e-4)
+
+    def test_masked_fold_grid_matches_full(self):
+        """Scoring with numeric rows masked out of the grid (fold id -1) must
+        leave MCQ probabilities untouched vs scoring every row."""
+        ds, tb, fid, spec, params, lspec, lora = self._setup()
+        full = score_heldout_mcq(
+            params, lora, spec, lspec, jnp.asarray(tb.tokens),
+            jnp.asarray(tb.answer_pos), tb.option_token_ids, tb.n_options,
+            fid, k=3,
+        )
+        masked = score_heldout_mcq(
+            params, lora, spec, lspec, jnp.asarray(tb.tokens),
+            jnp.asarray(tb.answer_pos), tb.option_token_ids, tb.n_options,
+            np.where(tb.gold >= 0, fid, -1), k=3,
+        )
+        is_mcq = tb.gold >= 0
+        np.testing.assert_allclose(masked[is_mcq], full[is_mcq],
+                                   atol=1e-5, rtol=1e-5)

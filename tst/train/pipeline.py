@@ -25,6 +25,7 @@ from tst.models.decoder import ModelSpec, init_params, spec_by_name
 from tst.models.lora import LoraSpec
 from tst.runtime import mesh as mesh_mod
 from tst.train.infer import (score_all_mcq, score_heldout_mcq,
+                             score_heldout_mcq_packed,
                              score_heldout_numeric, score_heldout_open)
 from tst.train.sft import FoldTrainer, make_fold_batches
 
@@ -253,14 +254,29 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     report["train_step_compile_s"] = round(time.time() - t0, 2)
 
     if bool((tb.gold >= 0).any()):
-        idx, _ = heldout_index_grid(st.fold_id, k)
+        # the run scores MCQ rows only (numeric/open rows are decode-scored),
+        # so warm the same masked grid — and the same packed/unpacked variant
+        mcq_fold = np.where(tb.gold >= 0, st.fold_id, -1)
         t0 = time.time()
         if tb.option_token_seqs is not None and tb.option_token_seqs.shape[-1] > 1:
+            idx, _ = heldout_index_grid(mcq_fold, k)
             scorer = make_mcq_scorer_multitoken(spec, lspec, on_tpu, batch=8)
             scorer.lower(st.params, st.lora, st.tokens, st.answer_pos,
                          jnp.asarray(tb.option_token_seqs),
                          jnp.asarray(idx)).compile()
+        elif st.pack is not None:
+            from tst.train.infer import (make_mcq_scorer_packed,
+                                         pack_heldout_mcq, packed_scorer_batch)
+
+            b = packed_scorer_batch(st.pack.pack_len)
+            ptokens, ppos, psegs, _ = pack_heldout_mcq(
+                tb, mcq_fold, k, st.pack.pack_len, b)
+            scorer = make_mcq_scorer_packed(spec, lspec, on_tpu, batch=b)
+            scorer.lower(st.params, st.lora, jnp.asarray(ptokens),
+                         jnp.asarray(ppos), jnp.asarray(psegs),
+                         jnp.asarray(tb.option_token_ids)).compile()
         else:
+            idx, _ = heldout_index_grid(mcq_fold, k)
             scorer = make_mcq_scorer(spec, lspec, on_tpu, 32)
             scorer.lower(st.params, st.lora, st.tokens, st.answer_pos,
                          jnp.asarray(tb.option_token_ids),
@@ -301,6 +317,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     t_start = time.time()
     k = cfg.data.k
     st = _build_sft_state(ds, cfg)
+    setup_wall = time.time() - t_start
     tokenizer, tb, fold_id = st.tokenizer, st.tb, st.fold_id
     spec, params, lspec = st.spec, st.params, st.lspec
     batches, trainer, on_tpu = st.batches, st.trainer, st.on_tpu
@@ -313,15 +330,36 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     from tst.aux.profile import trace
 
     has_mcq = bool((tb.gold >= 0).any())
+    stage_walls: Dict[str, float] = {}
 
-    def score_now(lora_now):
+    def _timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        stage_walls[name] = stage_walls.get(name, 0.0) + (time.time() - t0)
+        return out
+
+    single_token_opts = (tb.option_token_seqs is None
+                         or tb.option_token_seqs.shape[-1] == 1)
+    # numeric/open rows are decode-scored (below); keeping them out of the
+    # MCQ scorer grid drops ~25% of its forwards at the VSI mix
+    mcq_fold_id = np.where(tb.gold >= 0, fold_id, -1)
+
+    def _score_mcq(lora_now):
         if not has_mcq:  # all-numeric/open dataset: no letter columns to read
             return np.zeros((tb.n, 1), np.float32)
+        if st.pack is not None and single_token_opts:
+            return score_heldout_mcq_packed(
+                params, lora_now, spec, lspec, tb, mcq_fold_id, k,
+                pack_len=st.pack.pack_len, use_pallas=on_tpu,
+            )
         return score_heldout_mcq(
             params, lora_now, spec, lspec, tokens, answer_pos,
-            tb.option_token_ids, tb.n_options, fold_id, k, use_pallas=on_tpu,
-            option_seqs=tb.option_token_seqs,
+            tb.option_token_ids, tb.n_options, mcq_fold_id, k,
+            use_pallas=on_tpu, option_seqs=tb.option_token_seqs,
         )
+
+    def score_now(lora_now):
+        return _timed("score_mcq", lambda: _score_mcq(lora_now))
 
     # s(x) aggregation over epochs AND independent seed restarts (paper:
     # scores averaged over training snapshots/seeds for stability; pluggable
@@ -409,10 +447,10 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     )
     numeric_mra = None
     if np.isfinite(gold_values).any():
-        pred_values, s_num = score_heldout_numeric(
+        pred_values, s_num = _timed("numeric_decode", lambda: score_heldout_numeric(
             params, lora, spec, lspec, tokens, answer_pos, gold_values,
             fold_id, k, tokenizer=tokenizer, use_pallas=on_tpu,
-        )
+        ))
         s_x = np.where(np.isfinite(s_num), s_num, s_x)
         numeric_mra = float(metrics.mra(np.nan_to_num(pred_values), gold_values))
 
@@ -421,10 +459,10 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     gold_texts = [s.answer if s.answer_type == "open" else None for s in ds]
     open_acc = None
     if any(g is not None for g in gold_texts):
-        _, s_open = score_heldout_open(
+        _, s_open = _timed("open_decode", lambda: score_heldout_open(
             params, lora, spec, lspec, tokens, answer_pos, gold_texts,
             fold_id, k, tokenizer=tokenizer, use_pallas=on_tpu,
-        )
+        ))
         s_x = np.where(np.isfinite(s_open), s_open, s_x)
         open_acc = float(np.nanmean(s_open))
 
@@ -457,11 +495,11 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         from tst.diagnose.rf import run_rf_diagnostic
         from tst.eval.parity import spearman as _spearman
 
-        rf_d = run_rf_diagnostic(
+        rf_d = _timed("rf_cross_check", lambda: run_rf_diagnostic(
             ds, k=cfg.data.k, seed=cfg.data.seed,
             n_estimators=cfg.rf.n_estimators, max_depth=cfg.rf.max_depth,
             backend="sklearn", score_rule=cfg.rf.score_rule,
-        )
+        ))
         report["rf_sft_spearman"] = round(_spearman(rf_d.s_x, s_x), 4)
         report["rf_blind_accuracy"] = round(float(rf_d.blind_accuracy), 4)
     if numeric_mra is not None:
@@ -485,6 +523,11 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         train_first_step_seconds=round(tlog.first_step_seconds, 2),
         train_samples_per_sec=round(tlog.samples_per_sec, 2),
         wall_seconds=round(time.time() - t_start, 2),
+        # non-train wall decomposition (round-4 scoring-leg campaign):
+        # setup = tokenize/pack/weights; the rest are cumulative stage walls
+        setup_wall_seconds=round(setup_wall, 2),
+        **{f"{name}_wall_seconds": round(w, 2)
+           for name, w in sorted(stage_walls.items())},
     )
     if st.pack is not None:
         report["pack_len"] = st.pack.pack_len
