@@ -69,30 +69,56 @@ def run_leg(tag, chunk=None, layer_loop=None):
             _DECODE_CACHE.clear()
 
 
-# the default leg, timed warm (probe_scoring D included one cold compile? no
-# — it warmed once; this re-establishes the baseline in-process)
-run_leg("baseline chunk=auto(5) unroll")
+# Measured 2026-08-19 (warm, real v5e, 256 numeric rows, k=5, S=512, 12 new):
+#   unroll chunk=auto(5): 86.6 s   unroll chunk=2: 19.2 s
+#   unroll chunk=10: compile-helper crash (HTTP 500)
+#   scan   chunk=auto(5): 17.0 s
+# → the fold-vmapped held-out decode wants SCAN at 8B even though the
+#   serving (single-model) decode measured unroll faster. Sweep scan×chunk:
+run_leg("scan chunk=auto(5)", layer_loop="scan")
+run_leg("scan chunk=2", chunk=2, layer_loop="scan")
+run_leg("scan chunk=10", chunk=10, layer_loop="scan")
+run_leg("scan chunk=16", chunk=16, layer_loop="scan")
+run_leg("unroll chunk=2", chunk=2)
+run_leg("unroll chunk=1", chunk=1)
 
-# single [k, 5] program, timed alone: per-chunk wall
-fn = _make_decode_fn(spec, lspec, MAX_NEW, True, with_lora=True)
-idx5 = jnp.asarray(np.tile(numeric_rows[:5], (K, 1)))
-np.asarray(fn(params, lora, tokens, pos + 1, idx5))
-t0 = time.perf_counter()
-np.asarray(fn(params, lora, tokens, pos + 1, idx5))
-per_chunk = time.perf_counter() - t0
-print(f"one [k,5] decode program: {per_chunk:.2f} s", flush=True)
 
-# prefill-only at the same rows: the [k*5, S] forward with return_kv
-rows25 = np.asarray(idx5).ravel()
-tok25 = tokens[jnp.asarray(rows25)]
-pf = jax.jit(lambda p, t: apply_model(p, t, spec, use_pallas=True,
-                                      return_kv=True)[0])
-np.asarray(pf(params, tok25))
-t0 = time.perf_counter()
-np.asarray(pf(params, tok25))
-print(f"prefill-only [25, {SEQ}] forward: {time.perf_counter() - t0:.2f} s",
-      flush=True)
+def run_deferred(tag, chunk, layer_loop):
+    """Chunk loop that enqueues every chunk before the first host sync —
+    does per-chunk np.asarray serialization cost anything under the
+    remote PJRT?"""
+    import tst.models.decode as dec
+    from tst.train.infer import _DECODE_CACHE
 
-run_leg("chunk=2", chunk=2)
-run_leg("chunk=10", chunk=10)
-run_leg("layer_loop=scan", layer_loop="scan")
+    old = dec.LAYER_LOOP_MODE
+    dec.LAYER_LOOP_MODE = layer_loop
+    _DECODE_CACHE.clear()
+    try:
+        fn = _make_decode_fn(spec, lspec, MAX_NEW, True, with_lora=True)
+        m = max(len(numeric_rows[fold_id[numeric_rows] == f])
+                for f in range(K))
+        idx = np.zeros((K, m), np.int32)
+        for f in range(K):
+            r = numeric_rows[fold_id[numeric_rows] == f]
+            idx[f, : len(r)] = r
+        pad = (-m) % chunk
+        idx_p = np.pad(idx, ((0, 0), (0, pad)))
+
+        def leg():
+            outs = [fn(params, lora, tokens, pos + 1,
+                       jnp.asarray(idx_p[:, c0: c0 + chunk]))
+                    for c0 in range(0, m + pad, chunk)]
+            return np.concatenate([np.asarray(o) for o in outs], axis=1)
+
+        leg()  # warm
+        t0 = time.perf_counter()
+        leg()
+        print(f"{tag}: {time.perf_counter() - t0:.2f} s", flush=True)
+    except Exception as e:
+        print(f"{tag}: FAILED {type(e).__name__}: {e}", flush=True)
+    finally:
+        dec.LAYER_LOOP_MODE = old
+        _DECODE_CACHE.clear()
+
+
+run_deferred("scan chunk=auto(5) DEFERRED sync", 5, "scan")

@@ -58,10 +58,22 @@ _UNROLL_MAX_LAYERS = 32
 LAYER_LOOP_MODE = "auto"
 
 
-def layer_loop_for(spec) -> str:
-    """The fastest measured-safe decode layer loop for a model geometry."""
+def layer_loop_for(spec, fold_vmapped: bool = False) -> str:
+    """The fastest measured-safe decode layer loop for a model geometry.
+
+    Serving decode (one model, batch rows) measures unroll faster — the
+    static cache offsets let XLA fuse slice reads into the attention dots.
+    The FOLD-VMAPPED held-out decode inverts this at scale: vmapping the
+    unrolled 32-layer int8 step makes XLA materialize per-layer bf16
+    dequant temps, and the 8B [k=5, chunk=5] leg measures 86.6 s unrolled
+    vs 16.9 s scanned; at 0.5B the two tie (5.06 vs 4.91 s)
+    (scripts/probe_decode8b.py, probe_decode05b.py, 2026-08-19). So
+    ``fold_vmapped`` always picks scan unless explicitly overridden.
+    """
     if LAYER_LOOP_MODE != "auto":
         return LAYER_LOOP_MODE
+    if fold_vmapped:
+        return "scan"
     return "unroll" if spec.n_layers <= _UNROLL_MAX_LAYERS else "scan"
 
 

@@ -420,7 +420,7 @@ def _make_decode_fn(spec, lora_spec, max_new: int, use_pallas: bool,
         return cached
     from tst.models.decode import greedy_decode, layer_loop_for
 
-    loop = layer_loop_for(spec)
+    loop = layer_loop_for(spec, fold_vmapped=True)
 
     @jax.jit
     def decode_all(base, lora_k, all_tokens, prompt_len, idx_kM):
@@ -478,12 +478,15 @@ def _decode_heldout_rows(
     mc = min(m, max(int(chunk), 1))
     pad = (-m) % mc
     idx_p = np.pad(idx, ((0, 0), (0, pad)))
-    outs = []
-    for c0 in range(0, m + pad, mc):
-        gen_c = fn(base, lora_k, tokens, prompt_len,
-                   jnp.asarray(idx_p[:, c0: c0 + mc]))
-        outs.append(np.asarray(gen_c))
-    gen = np.concatenate(outs, axis=1)[:, :m]
+    # Enqueue every chunk before the first host sync: the generated tokens
+    # are tiny ([k, chunk, max_new] int32), so holding all chunks on device
+    # costs nothing, and deferring np.asarray lets the remote runtime
+    # pipeline chunk dispatch with execution (measured 16.9 -> 16.6 s on
+    # the 8B 256-row leg, scripts/probe_decode8b.py).
+    outs = [fn(base, lora_k, tokens, prompt_len,
+               jnp.asarray(idx_p[:, c0: c0 + mc]))
+            for c0 in range(0, m + pad, mc)]
+    gen = np.concatenate([np.asarray(o) for o in outs], axis=1)[:, :m]
     return gen, idx, valid  # [k, M, max_new]
 
 
