@@ -78,7 +78,7 @@ def layer_loop_for(spec, fold_vmapped: bool = False) -> str:
 
 
 def _step_dot(y, leaf, dtype, use_pallas, stack=None, li=None) -> jnp.ndarray:
-    """One decode-step projection dot, f32 out: y [B, 1, D] @ W [D, F].
+    """One decode-step projection dot, f32 out: y [B, T, D] @ W [D, F].
 
     Packed-int4 leaves on TPU route to the pallas dequant-matmul — at
     decode's tiny M, XLA does not fuse the planar dequant into the dot and
@@ -98,60 +98,65 @@ def _step_dot(y, leaf, dtype, use_pallas, stack=None, li=None) -> jnp.ndarray:
             and stack["q"].shape[-1] % 128 == 0):
         from tst.kernels.quant_matmul import int4_matmul_stacked
 
-        b = y.shape[0]
-        y2 = y.reshape(b, y.shape[-1])
-        pad = (-b) % 8  # one sublane tile
+        b, t = y.shape[0], y.shape[1]
+        y2 = y.reshape(b * t, y.shape[-1])
+        pad = (-(b * t)) % 8  # one sublane tile
         if pad:
             y2 = jnp.pad(y2, ((0, pad), (0, 0)))
         out = int4_matmul_stacked(y2, stack["q"], stack["scale"], li)
-        return out[:b].reshape(b, 1, out.shape[-1])
+        return out[: b * t].reshape(b, t, out.shape[-1])
     return _qdot(y, leaf, dtype, preferred=jnp.float32)
 
 
-def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
-                 write_slot, prompt_len_b, prompt_slots, k_cache, v_cache,
-                 layer_loop=None, use_pallas=False):
-    """One greedy step with the contiguous-slot cache layout.
+def _chunk_step(params, lora, lora_spec, spec, tokens_bt, pos_bt, write_base,
+                valid_mask, k_cache, v_cache, layer_loop=None,
+                use_pallas=False):
+    """T-token decode step with the contiguous-slot cache layout.
 
-    ``token_b`` [B] int32; ``rope_pos_b`` [B] = each row's semantic position
-    (prompt_len + step, drives RoPE); ``write_slot`` = traced SCALAR cache
-    slot ``prompt_slots + step`` — generated tokens are left-aligned at slots
-    shared by all rows, so the cache write is ONE dynamic_update_slice with a
-    scalar start index instead of a per-row one-hot select over the whole
-    cache (round 2's select streamed + rewrote both [B, S, KVH, dh] caches
-    per layer per step — ~0.5 GB/step of pure overhead at B=32; a per-row
-    DUS would instead lower to a batched scatter whose TPU compile is
-    pathological, >40 min). Attention masks validity per row: prompt slots
-    ``[0, prompt_len)`` plus generated slots ``[prompt_slots, write_slot]``.
+    ``tokens_bt`` [B, T] int32; ``pos_bt`` [B, T] = per-row semantic
+    positions (drive RoPE); ``write_base`` = traced SCALAR cache slot — the
+    chunk's K/V land at slots ``[write_base, write_base + T)`` shared by all
+    rows, so the cache write is ONE dynamic_update_slice with a scalar start
+    index instead of a per-row one-hot select over the whole cache (round
+    2's select streamed + rewrote both [B, S, KVH, dh] caches per layer per
+    step — ~0.5 GB/step of pure overhead at B=32; a per-row DUS would
+    instead lower to a batched scatter whose TPU compile is pathological,
+    >40 min). ``valid_mask`` [B, S] marks the committed slots each row may
+    attend to; within the chunk, query ``t`` additionally sees chunk slots
+    ``<= t`` (causal triangle) — so T=1 self-attends its own slot and the
+    speculative verify chunk (tst/models/spec_decode.py) is causally exact.
 
     The FULL [L, B, S, KVH, dh] caches ride the layer scan's CARRY and each
-    layer writes its one-token K/V via a scalar-indexed 5-D DUS at
-    ``(layer, 0, write_slot, 0, 0)`` — while-loop carries alias their
+    layer writes its T-token K/V via a scalar-indexed 5-D DUS at
+    ``(layer, 0, write_base, 0, 0)`` — while-loop carries alias their
     buffers, so the write is in place. The earlier shape (caches as scan
     ``xs`` re-stacked as ``ys``) forced XLA to materialize a fresh cache
     pair every step: profiled at ~1.5 ms/step of pure DUS/slice/copy traffic
     at B=32×0.5B — ~40% of the step wall.
 
-    Returns (next_token [B], updated caches). Caches: [L, B, S, KVH, dh].
+    Returns (greedy tokens [B, T], updated caches). Caches:
+    [L, B, S, KVH, dh].
     """
-    b = token_b.shape[0]
+    b, t_chunk = tokens_bt.shape
     s_max = k_cache.shape[2]
-    x = embed_lookup(params, token_b, spec)[:, None, :]  # [B,1,D]
+    x = embed_lookup(params, tokens_bt, spec)  # [B,T,D]
     cos_full, sin_full = rope_tables(s_max, spec.d_head, spec.rope_theta,
                                      spec.rope_scaling)
-    cos_t = cos_full[rope_pos_b][:, None]  # [B,1,half]
-    sin_t = sin_full[rope_pos_b][:, None]
+    cos_t = cos_full[pos_bt]  # [B,T,half]
+    sin_t = sin_full[pos_bt]
 
-    def rope_one(t):  # t: [B,1,H,dh] at per-row positions
+    def rope_one(t):  # t: [B,T,H,dh] at per-row positions
         half = t.shape[-1] // 2
         t1, t2 = t[..., :half], t[..., half:]
         c = cos_t[:, :, None, :].astype(t.dtype)
         s = sin_t[:, :, None, :].astype(t.dtype)
         return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], axis=-1)
 
-    ar = jnp.arange(s_max, dtype=jnp.int32)[None, :]
-    valid = (ar < prompt_len_b[:, None]) | (
-        (ar >= prompt_slots) & (ar <= write_slot))  # [B, S]
+    ar = jnp.arange(s_max, dtype=jnp.int32)
+    tri = (ar[None, :] >= write_base) & (
+        (ar[None, :] - write_base) <= jnp.arange(t_chunk, dtype=jnp.int32)[:, None]
+    )  # [T, S] chunk-causal triangle at the shared slots
+    mask = valid_mask[:, None, :] | tri[None]  # [B, T, S]
 
     def layer_body(carry, scanned):
         h_in, kc_all, vc_all = carry  # caches [L, B, S, KVH, dh]
@@ -171,30 +176,30 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
             return out
 
         h = rms_norm(h_in, lw["attn_norm"], spec.rms_eps)
-        q = rope_one(proj("q", h, "wq").reshape(b, 1, spec.n_heads, spec.d_head))
-        k_new = rope_one(proj("k", h, "wk").reshape(b, 1, spec.n_kv_heads, spec.d_head))
-        v_new = proj("v", h, "wv").reshape(b, 1, spec.n_kv_heads, spec.d_head)
-        # ONE scalar-indexed DUS writes all rows' new K/V (slot shared);
+        q = rope_one(proj("q", h, "wq").reshape(b, t_chunk, spec.n_heads, spec.d_head))
+        k_new = rope_one(proj("k", h, "wk").reshape(b, t_chunk, spec.n_kv_heads, spec.d_head))
+        v_new = proj("v", h, "wv").reshape(b, t_chunk, spec.n_kv_heads, spec.d_head)
+        # ONE scalar-indexed DUS writes all rows' new K/V (slots shared);
         # indexing the carried full cache keeps the write in place
         zero = jnp.int32(0)
         kc_all = jax.lax.dynamic_update_slice(
             kc_all, k_new[None].astype(kc_all.dtype),
-            (li, zero, write_slot, zero, zero))
+            (li, zero, write_base, zero, zero))
         vc_all = jax.lax.dynamic_update_slice(
             vc_all, v_new[None].astype(vc_all.dtype),
-            (li, zero, write_slot, zero, zero))
+            (li, zero, write_base, zero, zero))
         kc = jax.lax.dynamic_index_in_dim(kc_all, li, axis=0, keepdims=False)
         vc = jax.lax.dynamic_index_in_dim(vc_all, li, axis=0, keepdims=False)
-        # attend q (1 token) over the cache, masked to each row's valid slots
+        # attend the T queries over the cache, masked per row + chunk triangle
         groups = spec.n_heads // spec.n_kv_heads
-        qg = q.reshape(b, spec.n_kv_heads, groups, spec.d_head)
-        scores = jnp.einsum("bkgd,bskd->bkgs", qg, kc,
+        qg = q.reshape(b, t_chunk, spec.n_kv_heads, groups, spec.d_head)
+        scores = jnp.einsum("btkgd,bskd->bkgts", qg, kc,
                             preferred_element_type=jnp.float32) / np.sqrt(spec.d_head)
-        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        scores = jnp.where(mask[:, None, None, :, :], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(spec.dtype)
-        attn = jnp.einsum("bkgs,bskd->bkgd", probs, vc,
+        attn = jnp.einsum("bkgts,bskd->btkgd", probs, vc,
                           preferred_element_type=jnp.float32).astype(spec.dtype)
-        attn = attn.reshape(b, 1, spec.q_dim)
+        attn = attn.reshape(b, t_chunk, spec.q_dim)
         h_mid = h_in + proj("o", attn, "wo")
         h = rms_norm(h_mid, lw["mlp_norm"], spec.rms_eps)
         gate = proj("gate", h, "w_gate")
@@ -223,9 +228,27 @@ def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
         (x, k_cache, v_cache), _ = jax.lax.scan(
             layer_body, (x, k_cache, v_cache), scanned)
     x = rms_norm(x, params["final_norm"], spec.rms_eps)
-    logits = jnp.einsum("bsd,dv->bsv", x, lm_head_weight(params, spec).astype(spec.dtype),
-                        preferred_element_type=jnp.float32)[:, 0]  # [B, V]
+    logits = jnp.einsum("btd,dv->btv", x, lm_head_weight(params, spec).astype(spec.dtype),
+                        preferred_element_type=jnp.float32)  # [B, T, V]
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_cache, v_cache
+
+
+def _decode_step(params, lora, lora_spec, spec, token_b, rope_pos_b,
+                 write_slot, prompt_len_b, prompt_slots, k_cache, v_cache,
+                 layer_loop=None, use_pallas=False):
+    """One greedy step — the T=1 chunk step with the mask derived from the
+    contiguous-slot layout: prompt slots ``[0, prompt_len)`` plus generated
+    slots ``[prompt_slots, write_slot)`` (the chunk triangle supplies the
+    self slot). Returns (next_token [B], updated caches)."""
+    s_max = k_cache.shape[2]
+    ar = jnp.arange(s_max, dtype=jnp.int32)[None, :]
+    valid = (ar < prompt_len_b[:, None]) | (
+        (ar >= prompt_slots) & (ar < write_slot))  # [B, S]
+    nxt, k_cache, v_cache = _chunk_step(
+        params, lora, lora_spec, spec, token_b[:, None], rope_pos_b[:, None],
+        write_slot, valid, k_cache, v_cache, layer_loop=layer_loop,
+        use_pallas=use_pallas)
+    return nxt[:, 0], k_cache, v_cache
 
 
 def greedy_decode(
