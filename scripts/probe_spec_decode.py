@@ -36,6 +36,10 @@ from tst.models.spec_decode import speculative_greedy_decode
 
 MAX_NEW, SHORT_NEW, REPS = 16, 4, 3
 GAMMAS = (2, 4, 8)
+#: draft weight storage — decode is weight-read-bound, so a quantized draft
+#: cuts the gamma draft steps near-proportionally (int8 1B ~1.2 GB vs bf16
+#: 2.4 GB); int4 routes through the pallas dequant-matmul like the target
+DRAFTS = (("bf16", None), ("int8", 8), ("int4", 4))
 ALPHAS = (0.5, 0.7, 0.8, 0.9)
 
 
@@ -51,7 +55,10 @@ def main():
     tgt_spec = spec_by_name("llama3-8b")
     drf_spec = spec_by_name("llama3.2-1b")
     tgt = init_params(jax.random.key(0), tgt_spec, quantize=True, bits=8)
-    drf = init_params(jax.random.key(1), drf_spec)
+
+    def make_draft(bits):  # built lazily — 8 GB target + one draft at a time
+        return init_params(jax.random.key(1), drf_spec,
+                           quantize=bits is not None, bits=bits or 8)
 
     for b in [int(a) for a in sys.argv[1:]] or [16, 32]:
         rows = np.arange(b) % w.tokens.shape[0]
@@ -75,7 +82,9 @@ def main():
         print(f"B={b}  plain 8B-int8 step {t_tgt_ms:.2f} ms "
               f"({b * 1e3 / t_tgt_ms:.0f} tok/s steps-only)", flush=True)
 
-        for gamma in GAMMAS:
+        for dname, dbits in DRAFTS:
+          drf = make_draft(dbits)
+          for gamma in GAMMAS:
             def make_spec(n_new, _g=gamma):
                 return jax.jit(lambda dp, tp, t, pl_: speculative_greedy_decode(
                     dp, drf_spec, tp, tgt_spec, t, pl_, n_new, gamma=_g,
@@ -102,8 +111,8 @@ def main():
                     np.asarray(out)
                     walls[n_new] = (time.perf_counter() - t0) / REPS
             except Exception as e:
-                print(f"  gamma={gamma}: {type(e).__name__}: {e}",
-                      file=sys.stderr)
+                print(f"  draft={dname} gamma={gamma}: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
                 continue
             d_rounds = (MAX_NEW - 1) - (SHORT_NEW - 1)
             t_round_ms = (walls[MAX_NEW] - walls[SHORT_NEW]) / d_rounds * 1e3
@@ -120,9 +129,10 @@ def main():
             curve = "  ".join(
                 f"a={a}: {expected_commits(a, gamma) / ratio:.2f}x"
                 for a in ALPHAS)
-            print(f"  gamma={gamma}  round {t_round_ms:.2f} ms "
+            print(f"  draft={dname} gamma={gamma}  round {t_round_ms:.2f} ms "
                   f"({ratio:.2f} plain steps)  compile {compile_s:.0f}s  "
                   f"break-even alpha*={alpha_star:.2f}  {curve}", flush=True)
+          del drf
 
 
 if __name__ == "__main__":

@@ -9,6 +9,8 @@ four benchmarks", reference README.md:35):
                         cache (kills the cold-compile wall of a timed run)
   * ``debias-ibp``   — Iterative Bias Pruning → debiased split
   * ``eval-blind``   — zero-shot blind evaluation (vision-blind-gap leg)
+  * ``generate``     — greedy continuations (serving; optional exact
+                        speculative decoding via ``--draft-model``)
   * ``export``       — re-emit artifacts from a previous run directory
 
 Run as ``python -m tst <subcommand> ...``.
@@ -168,6 +170,23 @@ def cmd_train_transfer(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    """Greedy continuations for every sample's blind prompt (the serving
+    surface). ``--draft-model``/``--draft-path`` switch to EXACT speculative
+    decoding — bit-identical output, with the measured acceptance in the
+    report (tst/models/spec_decode.py)."""
+    from tst.train.pipeline import run_generate
+
+    cfg = _resolve(args)
+    ds = _load_dataset(cfg)
+    report = run_generate(
+        ds, cfg, max_new=args.max_new, draft_model=args.draft_model,
+        draft_path=args.draft_path, draft_quantize=args.draft_quantize,
+        gamma=args.gamma)
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Re-emit artifacts (sx table / debiased split) from a run directory."""
     import numpy as np
@@ -273,6 +292,7 @@ def build_parser() -> argparse.ArgumentParser:
         ("debias-ibp", cmd_debias_ibp, "auto"),
         ("eval-blind", cmd_eval_blind, "auto"),
         ("train-transfer", cmd_train_transfer, "auto"),
+        ("generate", cmd_generate, "auto"),
     ]:
         sp = sub.add_parser(name)
         _common_flags(sp, default_platform=plat)
@@ -280,6 +300,20 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--train-bench", required=True,
                             help="training benchmark (e.g. a VSI-Train-10k jsonl)")
             sp.add_argument("--train-source", default=None)
+        if name == "generate":
+            sp.add_argument("--max-new", type=int, default=16)
+            sp.add_argument("--draft-model", default=None,
+                            help="draft geometry name for speculative "
+                                 "decoding (must share the tokenizer, e.g. "
+                                 "llama3.2-1b for llama3-8b)")
+            sp.add_argument("--draft-path", default=None,
+                            help="local HF checkpoint dir for the draft")
+            sp.add_argument("--draft-quantize", default=None,
+                            choices=["none", "int8", "int4"],
+                            help="draft weight storage (decode is weight-"
+                                 "read-bound; int8 halves the draft steps)")
+            sp.add_argument("--gamma", type=int, default=4,
+                            help="draft tokens proposed per verify round")
         if name == "eval-blind":
             sp.add_argument("--adapter", default=None,
                             help="Orbax LoRA checkpoint dir to score with "

@@ -690,3 +690,117 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
 
     outputs.write_report(cfg.out_dir, report, name="blind_eval.json")
     return report
+
+
+def run_generate(ds: BlindDataset, cfg: RunConfig,
+                 max_new: int = 16,
+                 draft_model: Optional[str] = None,
+                 draft_path: Optional[str] = None,
+                 draft_quantize: Optional[str] = None,
+                 gamma: int = 4) -> Dict[str, Any]:
+    """Greedy continuations of every sample's blind prompt — the serving
+    surface of the decode stack (``tst generate``).
+
+    With a draft model (``--draft-model``/``--draft-path``) the run uses
+    EXACT speculative decoding (tst/models/spec_decode.py): outputs are
+    bit-identical to the plain run, and the report carries the measured
+    acceptance so the speedup is auditable (committed/round = accepted + 1;
+    break-even curves in scripts/probe_spec_decode.py). The draft must share
+    the target's tokenizer (e.g. llama3.2-1b drafting for llama3-8b).
+
+    Artifacts: ``generations.jsonl`` (id, answer_type, text, parsed numeric
+    value) + ``generate_report.json``.
+    """
+    import dataclasses
+
+    from tst.models.decode import (decode_numeric, decode_text, greedy_decode,
+                                   layer_loop_for)
+    from tst.models.quant import quantized_bytes
+    from tst.train.infer import decode_chunk_rows
+
+    t_start = time.time()
+    tokenizer = build_tokenizer(cfg)
+    tb = tokenize_dataset(ds, tokenizer, max_len=cfg.data.max_len,
+                          include_context=cfg.data.include_context)
+    spec, params = build_model(cfg, tokenizer)
+    on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
+    base_bytes = quantized_bytes(params)
+
+    dspec = dparams = None
+    if draft_model or draft_path:
+        dcfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, name=draft_model or cfg.model.name, path=draft_path,
+            quantize=draft_quantize or "none"))
+        dspec, dparams = build_model(dcfg, tokenizer)
+        base_bytes += quantized_bytes(dparams)
+
+    chunk = min(decode_chunk_rows(spec, tb.seq_len, max_new, k=1,
+                                  base_bytes=base_bytes), tb.n)
+    tokens = jnp.asarray(tb.tokens)
+    prompt_len = jnp.asarray(tb.answer_pos) + 1
+
+    if dparams is not None:
+        from tst.models.spec_decode import speculative_greedy_decode
+
+        fn = jax.jit(lambda dp, tp, t, pl: speculative_greedy_decode(
+            dp, dspec, tp, spec, t, pl, max_new, gamma=gamma,
+            use_pallas=on_tpu, return_stats=True))
+    else:
+        loop = layer_loop_for(spec)
+        fn = jax.jit(lambda tp, t, pl: greedy_decode(
+            tp, t, pl, max_new, spec, use_pallas=on_tpu, layer_loop=loop))
+
+    gen = np.zeros((tb.n, max_new), np.int32)
+    rounds_total = 0
+    t_first = None
+    for lo in range(0, tb.n, chunk):
+        rows = np.arange(lo, min(lo + chunk, tb.n))
+        if rows.size < chunk:  # pad the tail chunk to the compiled shape
+            rows = np.pad(rows, (0, chunk - rows.size), mode="edge")
+        t0 = time.time()
+        if dparams is not None:
+            out, stats = fn(dparams, params, tokens[rows], prompt_len[rows])
+            rounds_total += int(stats["rounds"])
+        else:
+            out = fn(params, tokens[rows], prompt_len[rows])
+        out = np.asarray(out)
+        if t_first is None:
+            t_first = time.time() - t0
+        gen[lo: lo + chunk] = out[: tb.n - lo]
+
+    texts = decode_text(gen, tokenizer)
+    values = decode_numeric(gen, tokenizer)
+    import json as _json
+    import os
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    with open(f"{cfg.out_dir}/generations.jsonl", "w") as f:
+        for s, text, val in zip(ds, texts, values):
+            row = {"id": s.id, "answer_type": s.answer_type, "text": text}
+            if s.answer_type == "numeric":
+                row["value"] = None if np.isnan(val) else float(val)
+            f.write(_json.dumps(row) + "\n")
+
+    wall = time.time() - t_start
+    report: Dict[str, Any] = {
+        "n_samples": len(ds), "model": spec.name, "max_new": max_new,
+        "chunk_rows": int(chunk),
+        "first_call_seconds": round(t_first or 0.0, 2),
+        "tokens_generated": int(tb.n * max_new),
+        "wall_seconds": round(wall, 2),
+    }
+    if dparams is not None:
+        n_chunks = -(-tb.n // chunk)
+        # every row commits max_new - 1 tokens after the free first token;
+        # a round advances every row in its chunk at once, so tokens/round
+        # (per row) = (max_new - 1) x chunks / total verify rounds
+        per_round = n_chunks * (max_new - 1) / max(rounds_total, 1)
+        report.update(
+            draft=dspec.name, gamma=gamma, spec_rounds=int(rounds_total),
+            committed_per_round=round(per_round, 3),
+            draft_acceptance=round(max(per_round - 1.0, 0.0) / gamma, 3),
+        )
+    from tst.io import outputs
+
+    outputs.write_report(cfg.out_dir, report, name="generate_report.json")
+    return report
