@@ -18,10 +18,14 @@ so rounds == max_new-1 exactly (confirmed via return_stats); the
 difference method over (max_new, short_new) cancels both prefills.
 
 Run: python scripts/probe_spec_decode.py [B ...]    (default: 16 32)
+     env TST_PROBE_DRAFTS=int8,int4 TST_PROBE_GAMMAS=2,4 narrows the grid
+     (the full grid OOMs a 16 GB chip at B=32: the 8B-int8 target + bf16
+     draft + two live chunk caches leave no slack, measured 2026-08-20).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -41,6 +45,14 @@ GAMMAS = (2, 4, 8)
 #: 2.4 GB); int4 routes through the pallas dequant-matmul like the target
 DRAFTS = (("bf16", None), ("int8", 8), ("int4", 4))
 ALPHAS = (0.5, 0.7, 0.8, 0.9)
+
+_SEL_DRAFTS = os.environ.get("TST_PROBE_DRAFTS")
+if _SEL_DRAFTS:
+    _keep = set(_SEL_DRAFTS.split(","))
+    DRAFTS = tuple(d for d in DRAFTS if d[0] in _keep)
+_SEL_GAMMAS = os.environ.get("TST_PROBE_GAMMAS")
+if _SEL_GAMMAS:
+    GAMMAS = tuple(int(g) for g in _SEL_GAMMAS.split(","))
 
 
 def expected_commits(alpha: float, gamma: int) -> float:
@@ -81,9 +93,16 @@ def main():
             continue
         print(f"B={b}  plain 8B-int8 step {t_tgt_ms:.2f} ms "
               f"({b * 1e3 / t_tgt_ms:.0f} tok/s steps-only)", flush=True)
+        jax.clear_caches()  # drop the plain-decode executables + temps
 
         for dname, dbits in DRAFTS:
-          drf = make_draft(dbits)
+          try:
+              drf = make_draft(dbits)
+          except Exception as e:  # OOM after a failed config: skip, go on
+              print(f"  draft={dname}: init failed "
+                    f"{type(e).__name__}: {e}", file=sys.stderr)
+              jax.clear_caches()
+              continue
           for gamma in GAMMAS:
             def make_spec(n_new, _g=gamma):
                 return jax.jit(lambda dp, tp, t, pl_: speculative_greedy_decode(
@@ -113,6 +132,7 @@ def main():
             except Exception as e:
                 print(f"  draft={dname} gamma={gamma}: "
                       f"{type(e).__name__}: {e}", file=sys.stderr)
+                jax.clear_caches()
                 continue
             d_rounds = (MAX_NEW - 1) - (SHORT_NEW - 1)
             t_round_ms = (walls[MAX_NEW] - walls[SHORT_NEW]) / d_rounds * 1e3
@@ -132,7 +152,9 @@ def main():
             print(f"  draft={dname} gamma={gamma}  round {t_round_ms:.2f} ms "
                   f"({ratio:.2f} plain steps)  compile {compile_s:.0f}s  "
                   f"break-even alpha*={alpha_star:.2f}  {curve}", flush=True)
+            jax.clear_caches()  # two live chunk caches/config is the margin
           del drf
+          jax.clear_caches()
 
 
 if __name__ == "__main__":
