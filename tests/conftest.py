@@ -25,6 +25,19 @@ if os.environ.get("TST_TEST_TPU") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compilation cache: the suite is compile-dominated on this
+    # single-core host (hundreds of small jit programs), and the CPU backend
+    # honours the same cache as TPU. Warm reruns skip XLA entirely
+    # (measured 7.4 s -> 0.28 s for a toy program; suite-level numbers in
+    # docs/RESULTS.md). Opt out with TST_TEST_NO_CACHE=1 to measure cold.
+    if os.environ.get("TST_TEST_NO_CACHE") != "1":
+        cache_dir = os.environ.get(
+            "TST_TEST_CACHE_DIR",
+            os.path.expanduser("~/.cache/tst_test_jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
