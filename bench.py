@@ -68,7 +68,14 @@ def main() -> None:
 
     from tst.aux.ckpt import enable_compilation_cache
 
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+
+    def _cache_files() -> set:
+        import os as _os
+        try:
+            return set(_os.listdir(cache_dir))
+        except OSError:
+            return set()
 
     backend = jax.default_backend()
     n_chips = jax.device_count()
@@ -105,11 +112,17 @@ def main() -> None:
         under this environment's remote PJRT, block_until_ready returns
         before execution completes."""
         lora, opt = trainer.init_state(jax.random.key(1))
+        cache_before = _cache_files()
         t0 = time.perf_counter()
         lora, opt, loss = trainer._step_fn(params, lora, opt, tokens, mask,
                                            pos, batch_idx_fn(0))
         np.asarray(loss)
         compile_s = time.perf_counter() - t0
+        # Persistent-cache state: a compile that wrote no new cache entries
+        # was a warm hit — lets the driver's time series tell program
+        # regressions from remote-compile-tunnel weather (the same program
+        # has measured 8 s warm and 497 s cold here).
+        cache_hit = len(_cache_files() - cache_before) == 0
         lowered = trainer._step_fn.lower(params, lora, opt, tokens, mask,
                                          pos, batch_idx_fn(0))
         compiled = lowered.compile()  # jit-cache hit: analysis without recompiling
@@ -136,6 +149,7 @@ def main() -> None:
             "samples_per_s": STEPS and (k_eff * BATCH / dt),
             "step_ms": dt * 1e3,
             "compile_s": compile_s,
+            "compile_cache_hit": cache_hit,
             "flops_per_step": flops,
             "mfu": (flops / dt / V5E_PEAK_BF16_FLOPS) if on_tpu else None,
             "hbm_gb": mem_gb,
@@ -562,6 +576,10 @@ def main() -> None:
         "xla_programs_fold_parallel": 1,
         "xla_programs_reference_style": K,
         "compile_s_fold_parallel": round(par["compile_s"], 1),
+        # True = the persistent XLA cache already held this program (the
+        # wall is deserialization, not compilation); False = a real compile
+        # through the remote tunnel, whose weather is heavy-tailed.
+        "compile_cache_hit_fold_parallel": par["compile_cache_hit"],
         "compile_s_single_fold": round(seq_compile_s, 1),
         "step_hbm_gb": par["hbm_gb"],
     }

@@ -91,6 +91,11 @@ def main():
             print(f"B={b} plain decode failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
+        if t_tgt_ms is None:  # difference method hit the noise floor
+            print(f"B={b} plain decode below noise floor; skipping batch",
+                  file=sys.stderr)
+            jax.clear_caches()
+            continue
         print(f"B={b}  plain 8B-int8 step {t_tgt_ms:.2f} ms "
               f"({b * 1e3 / t_tgt_ms:.0f} tok/s steps-only)", flush=True)
         jax.clear_caches()  # drop the plain-decode executables + temps

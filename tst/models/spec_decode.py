@@ -48,7 +48,7 @@ bad draft only lowers the acceptance rate.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -73,7 +73,7 @@ def speculative_greedy_decode(
     layer_loop: Optional[str] = None,
     draft_layer_loop: Optional[str] = None,
     return_stats: bool = False,
-) -> jnp.ndarray:
+) -> Union[jnp.ndarray, Tuple[jnp.ndarray, dict]]:
     """Greedy continuation of each prompt → int32 [B, max_new], bit-equal
     to ``greedy_decode(target_params, ...)``.
 
@@ -145,10 +145,18 @@ def speculative_greedy_decode(
         # the draft cache covers every chunk slot) ──
         def draft_step(carry, j):
             cur, dk_, dv_ = carry
+            # A target bonus token can exceed the draft vocab (vocab subset
+            # case); clip ONLY what the draft embeds — draft inputs affect
+            # acceptance, never correctness — so exactness doesn't lean on
+            # backend gather-clamp behavior. `cur` stays unclipped in the
+            # scan output: the target must verify the true token.
+            cur_d = (jnp.minimum(cur, draft_spec.vocab_size - 1)
+                     if draft_spec.vocab_size < target_spec.vocab_size
+                     else cur)
             # committed slots plus this round's earlier chunk slots
             vmask = valid | ((ar[None, :] >= base) & (ar[None, :] < base + j))
             nxt, dk_, dv_ = _chunk_step(
-                draft_params, None, None, draft_spec, cur[:, None],
+                draft_params, None, None, draft_spec, cur_d[:, None],
                 (pos_last + j)[:, None], base + j, vmask, dk_, dv_,
                 layer_loop=drf_loop, use_pallas=use_pallas)
             return (nxt[:, 0], dk_, dv_), cur
