@@ -351,6 +351,7 @@ class TestPackedTrainer:
                    all_segs=jnp.zeros((2, 1, 8), jnp.int32))
 
 
+@pytest.mark.slow  # ~40 s on the 1-core host (full packed diagnose-sft)
 class TestPackedPipeline:
     def test_diagnose_sft_with_packing(self, tmp_path):
         from tst.config import RunConfig
@@ -478,6 +479,7 @@ class TestSegmentSparseSchedule:
                                    atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # ~270 s on the 1-core host (multi-round packed IBP)
 class TestPackedIBP:
     def test_ibp_with_packing_pins_shapes_and_prunes(self, tmp_path):
         import tempfile
@@ -513,6 +515,47 @@ class TestPackedIBP:
         assert accs[0] > 0.4  # position shortcut learned in round 0
         assert accs[-1] < accs[0]  # pruning reduces exploitability
         assert rep["fraction_kept"] < 1.0
+
+    def test_packed_scorer_trajectory_matches_unpacked(self, tmp_path):
+        """optim.packed_scorer routes IBP's held-out MCQ scoring through the
+        packed grid (VERDICT r4 item 2). Packed letter probs can differ from
+        unpacked at ~1e-2, so the gate rides the config hash — this pins
+        that on a planted-bias set (where s(x) gaps are far wider than the
+        scorer delta) both runners prune the SAME rows every round."""
+        from tst.config import RunConfig
+        from tst.debias.ibp import run_ibp
+
+        def run(packed_scorer: bool, out):
+            cfg = RunConfig()
+            cfg.data.k = 2
+            cfg.model.name = "tiny"
+            cfg.model.dtype = "float32"
+            cfg.model.use_pallas = False
+            cfg.lora.rank = 4
+            cfg.lora.alpha = 8.0
+            cfg.lora.targets = ("q_proj", "v_proj")
+            cfg.optim.lr = 5e-3
+            cfg.optim.epochs = 3
+            cfg.optim.batch_size = 4
+            cfg.optim.pack = True
+            cfg.optim.packed_scorer = packed_scorer
+            cfg.ibp.diagnostic = "sft"
+            cfg.ibp.rounds = 2
+            cfg.ibp.prune_rate = 0.25
+            cfg.ibp.stop_epsilon = 0.0  # same round count in both runs
+            cfg.rf.cross_check = False
+            cfg.out_dir = str(out)
+            ds = make_synthetic_mcq(n=64, bias_fraction=0.5,
+                                    bias_kind="position", seed=0)
+            return run_ibp(ds, cfg)
+
+        rep_p = run(True, tmp_path / "packed")
+        rep_u = run(False, tmp_path / "unpacked")
+        assert rep_p["rounds_run"] == rep_u["rounds_run"]
+        assert rep_p["n_debiased"] == rep_u["n_debiased"]
+        kept_p = (tmp_path / "packed" / "debiased.jsonl").read_text()
+        kept_u = (tmp_path / "unpacked" / "debiased.jsonl").read_text()
+        assert kept_p == kept_u  # identical rows pruned, identical order
 
 
 class TestPackedTransfer:

@@ -84,10 +84,16 @@ class OptimConfig:
     n_seeds: int = 1  # independent SFT restarts averaged into s(x) (epochs/seeds aggregation)
     #: sequence packing (tst.data.packing): several samples per train row,
     #: attention confined per segment. batch_size then counts PACKED rows —
-    #: each carries ~pack_len/mean_sample_len samples. Training only; the
-    #: held-out scorer always sees unpacked rows.
+    #: each carries ~pack_len/mean_sample_len samples.
     pack: bool = False
     pack_len: int = 0  # packed row length; 0 = 2x the tokenized bucket
+    #: score held-out MCQ rows through the packed scorer too (measured 1.73x
+    #: on the 8B scoring wall; single-token-option tokenizers only — the
+    #: multi-token fallback keeps the unpacked grid). Only read when pack is
+    #: on. NOT a perf.* knob: packed letter probs differ from unpacked at
+    #: ~1e-2, which can flip near-boundary prune order, so the choice rides
+    #: the IBP config hash / the run's config.json.
+    packed_scorer: bool = True
 
 
 @dataclasses.dataclass

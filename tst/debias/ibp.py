@@ -433,6 +433,19 @@ class _SftRoundRunner:
         self.pack_rows0: Optional[int] = None
         if cfg.optim.pack:
             self.pack_len = int(cfg.optim.pack_len) or 2 * self.tb.seq_len
+        #: packed held-out MCQ scorer (optim.packed_scorer; measured 1.73x
+        #: on the 8B scoring wall, and IBP is where scoring repeats most:
+        #: rounds x seeds x score_epochs). Round 0 pins the scorer grid's
+        #: row count (score_rows0) — same invariant as pad_m/pack_rows0 —
+        #: so the jitted scorer never retraces as the surviving set
+        #: shrinks. Single-token option tokenizers only; the multi-token
+        #: fallback keeps the unpacked grid.
+        single_tok = (self.tb.option_token_seqs is None
+                      or self.tb.option_token_seqs.shape[-1] == 1)
+        self.use_packed_scorer = bool(self.pack_len
+                                      and cfg.optim.packed_scorer
+                                      and single_tok)
+        self.score_rows0: Optional[int] = None
         #: pairwise Spearman of per-seed final s(x) in the latest round
         #: (None unless optim.n_seeds > 1) — parity evidence for the report
         self.last_seed_spearman: Optional[float] = None
@@ -506,14 +519,35 @@ class _SftRoundRunner:
             for i, s in enumerate(self.ds)
         ]
         has_open = any(g is not None for g in gold_texts)
+        # numeric/open rows are decode-scored below; keeping them out of the
+        # MCQ grid drops their forwards (packed path) and matches the
+        # pipeline's _score_mcq masking. Their s(x) is overwritten by
+        # s_num/s_open either way.
+        mcq_fold = np.where(self.tb.gold >= 0, fold_global, -1)
+
         def mcq_score(lora_now):
             if not (self.tb.gold >= 0).any():
                 # all-numeric/open dataset: no letter columns to read
                 return np.zeros((len(self.ds), 1), np.float32)
+            if self.use_packed_scorer:
+                from tst.train.infer import (pack_heldout_mcq,
+                                             packed_scorer_batch,
+                                             score_heldout_mcq_packed)
+
+                if self.score_rows0 is None:  # round 0 pins the grid rows
+                    ptok0, _, _, _ = pack_heldout_mcq(
+                        self.tb, mcq_fold, self.k, self.pack_len,
+                        packed_scorer_batch(self.pack_len))
+                    self.score_rows0 = int(ptok0.shape[1])
+                return score_heldout_mcq_packed(
+                    self.params, lora_now, self.spec, self.lspec, self.tb,
+                    mcq_fold, self.k, pack_len=self.pack_len,
+                    use_pallas=self._on_tpu, pad_rows_to=self.score_rows0,
+                )
             return score_heldout_mcq(
                 self.params, lora_now, self.spec, self.lspec, self.tokens,
                 self.answer_pos, self.tb.option_token_ids, self.tb.n_options,
-                fold_global, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
+                mcq_fold, self.k, use_pallas=self._on_tpu, pad_to=self.pad_m,
                 option_seqs=self.tb.option_token_seqs,
             )
 

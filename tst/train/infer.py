@@ -247,8 +247,10 @@ def score_heldout_mcq(
 
 
 def pack_heldout_mcq(tb, fold_id: np.ndarray, k: int, pack_len: int,
-                     batch: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                          np.ndarray]:
+                     batch: int,
+                     pad_rows_to: Optional[int] = None,
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
     """Pack each fold's held-out MCQ rows for the packed scorer.
 
     The unpacked scorer forwards every held-out row at the full bucket
@@ -262,6 +264,11 @@ def pack_heldout_mcq(tb, fold_id: np.ndarray, k: int, pack_len: int,
     identical [k, R, L] grid, so the warmed program is the executed one.
     Returns (ptokens [k,R,L], ppos [k,R,G], psegs [k,R,G],
     sample_rows [k,R,G]); R is padded to a multiple of ``batch``.
+
+    ``pad_rows_to``: pad R to exactly this grid size (must be a multiple of
+    ``batch``, i.e. a previously returned R) — IBP rounds pin the scorer
+    grid to round 0's so the jitted program never retraces as the surviving
+    set shrinks (same invariant as pack_fold_datasets' pad_rows_to).
     """
     from tst.data.packing import pack_rows
     from tst.kernels.flash_attention import MAX_SEGS, SEG_PAD
@@ -271,6 +278,13 @@ def pack_heldout_mcq(tb, fold_id: np.ndarray, k: int, pack_len: int,
              for f in range(k)]
     r = max(max(p.n_rows for p in packs), 1)
     r += (-r) % batch
+    if pad_rows_to is not None:
+        if r > pad_rows_to:
+            raise ValueError(
+                f"packed scorer rows {r} exceed the pinned grid {pad_rows_to}"
+                " — a later IBP round packed into MORE rows than round 0 "
+                "(first-fit anomaly); re-pin shapes")
+        r = pad_rows_to
     seg_pad_row = np.full(MAX_SEGS, SEG_PAD, np.int32)
     seg_pad_row[0] = 0  # valid empty segment so the kernels see sane starts
 
@@ -361,13 +375,16 @@ def score_heldout_mcq_packed(
     pack_len: int,
     use_pallas: bool = False,
     batch: Optional[int] = None,
+    pad_rows_to: Optional[int] = None,
 ) -> np.ndarray:
     """End-to-end packed variant of :func:`score_heldout_mcq`: held-out
     per-option probabilities [N, C]; non-MCQ rows and rows whose fold id is
     outside [0, k) keep prob 0. Single-token options only (the multi-token
-    fallback keeps the unpacked path)."""
+    fallback keeps the unpacked path). ``pad_rows_to`` pins the packed grid
+    shape across IBP rounds (see :func:`pack_heldout_mcq`)."""
     b = batch or packed_scorer_batch(pack_len)
-    ptokens, ppos, psegs, srows = pack_heldout_mcq(tb, fold_id, k, pack_len, b)
+    ptokens, ppos, psegs, srows = pack_heldout_mcq(tb, fold_id, k, pack_len, b,
+                                                   pad_rows_to=pad_rows_to)
     scorer = make_mcq_scorer_packed(spec, lora_spec, use_pallas, batch=b)
     ll = scorer(base, lora_k, jnp.asarray(ptokens), jnp.asarray(ppos),
                 jnp.asarray(psegs), jnp.asarray(tb.option_token_ids))

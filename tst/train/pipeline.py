@@ -347,7 +347,8 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     def _score_mcq(lora_now):
         if not has_mcq:  # all-numeric/open dataset: no letter columns to read
             return np.zeros((tb.n, 1), np.float32)
-        if st.pack is not None and single_token_opts:
+        if (st.pack is not None and single_token_opts
+                and cfg.optim.packed_scorer):
             return score_heldout_mcq_packed(
                 params, lora_now, spec, lspec, tb, mcq_fold_id, k,
                 pack_len=st.pack.pack_len, use_pallas=on_tpu,
@@ -752,15 +753,26 @@ def run_generate(ds: BlindDataset, cfg: RunConfig,
 
     gen = np.zeros((tb.n, max_new), np.int32)
     rounds_total = 0
+    committed_total = 0.0  # exact-greedy tokens committed via rounds, real rows
+    round_rows = 0  # sum over chunks of n_real_rows x that chunk's rounds
     t_first = None
     for lo in range(0, tb.n, chunk):
+        n_real = min(lo + chunk, tb.n) - lo
         rows = np.arange(lo, min(lo + chunk, tb.n))
         if rows.size < chunk:  # pad the tail chunk to the compiled shape
             rows = np.pad(rows, (0, chunk - rows.size), mode="edge")
         t0 = time.time()
         if dparams is not None:
             out, stats = fn(dparams, params, tokens[rows], prompt_len[rows])
-            rounds_total += int(stats["rounds"])
+            chunk_rounds = int(stats["rounds"])
+            rounds_total += chunk_rounds
+            # per-row committed counts keep growing past max_new (capped rows
+            # still verify), so summing committed-1 over REAL rows gives the
+            # unbiased per-round commit rate — not gated by the slowest row,
+            # and tail-pad duplicates excluded.
+            committed_total += float(
+                np.sum(np.asarray(stats["committed"])[:n_real]) - n_real)
+            round_rows += n_real * chunk_rounds
         else:
             out = fn(params, tokens[rows], prompt_len[rows])
         out = np.asarray(out)
@@ -790,11 +802,11 @@ def run_generate(ds: BlindDataset, cfg: RunConfig,
         "wall_seconds": round(wall, 2),
     }
     if dparams is not None:
-        n_chunks = -(-tb.n // chunk)
-        # every row commits max_new - 1 tokens after the free first token;
-        # a round advances every row in its chunk at once, so tokens/round
-        # (per row) = (max_new - 1) x chunks / total verify rounds
-        per_round = n_chunks * (max_new - 1) / max(rounds_total, 1)
+        # mean exact-greedy tokens each row commits per verify round
+        # (1 = bonus only, gamma+1 = full acceptance): each round adds
+        # accepted+1 to a row's committed counter, so the ratio of
+        # committed-beyond-the-first to row-rounds IS tokens/round.
+        per_round = committed_total / max(round_rows, 1)
         report.update(
             draft=dspec.name, gamma=gamma, spec_rounds=int(rounds_total),
             committed_per_round=round(per_round, 3),
