@@ -13,6 +13,16 @@ them (fold/data-axis scaling model — zero cross-fold collectives).
 Run: python scripts/northstar_anchor.py [n_05b] [n_8b] [pack]
   n_8b=0 skips the 8B leg; a literal "pack" third arg runs the 0.5B leg
   with sequence packing (optim.pack, loss/grad-exact — RESULTS.md).
+
+IBP mode (VERDICT r4 item 1 — BASELINE config 5 at north-star scale):
+  python scripts/northstar_anchor.py ibp [n_05b] [n_8b] [resume]
+runs the FULL debias-ibp loop (packed, R rounds, prune 20%) at the same
+model points, reporting per-round walls, the blind-acc / numeric-MRA
+trajectory, and planted-bias prune recall (synthetic-vsi carries
+meta.planted_bias ground truth). A literal "resume" arg additionally
+reruns the 0.5B leg with ibp.fail_after_rounds=2 injected, resumes it,
+and asserts the debiased split is byte-identical to the uninterrupted
+run's. n_8b=0 skips the 8B leg.
 """
 
 from __future__ import annotations
@@ -22,9 +32,12 @@ import subprocess
 import sys
 import time
 
-N_05B = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-N_8B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-PACK = "pack" in sys.argv[3:]
+ARGS = [a for a in sys.argv[1:] if a not in ("ibp", "pack", "resume")]
+IBP = "ibp" in sys.argv[1:]
+N_05B = int(ARGS[0]) if len(ARGS) > 0 else (5000 if not IBP else 5000)
+N_8B = int(ARGS[1]) if len(ARGS) > 1 else 1024
+PACK = "pack" in sys.argv[1:]
+RESUME = "resume" in sys.argv[1:]
 
 
 def run(tag, args):
@@ -48,6 +61,110 @@ def run(tag, args):
         "samples_per_s": rep.get("train_samples_per_sec"),
     }), flush=True)
     return rep
+
+
+def _planted_fraction(path):
+    """Fraction of rows in a saved split carrying planted_bias ground truth."""
+    vals = []
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            if "_benchmark" in d:
+                continue
+            vals.append(bool((d.get("meta") or {}).get("planted_bias")))
+    return round(sum(vals) / max(len(vals), 1), 4), len(vals)
+
+
+def _ibp_leg(tag, args, out_dir, expect_fail=False):
+    t0 = time.time()
+    r = subprocess.run([sys.executable, "-m", "tst"] + args,
+                       capture_output=True, text=True)
+    wall = time.time() - t0
+    if expect_fail:
+        ok = r.returncode != 0 and "fail_after_rounds" in r.stderr
+        print(json.dumps({"leg": tag, "wall_s": round(wall, 1),
+                          "injected_crash": ok}), flush=True)
+        if not ok:
+            print(f"{tag}: expected injected crash, got rc={r.returncode}\n"
+                  f"{r.stderr[-2000:]}")
+        return None
+    if r.returncode != 0:
+        print(f"{tag}: FAILED rc={r.returncode}\n{r.stderr[-2000:]}")
+        return None
+    rep = json.loads(r.stdout)
+    removed_frac, n_removed = _planted_fraction(f"{out_dir}/removed.jsonl")
+    kept_frac, n_kept = _planted_fraction(f"{out_dir}/debiased.jsonl")
+    print(json.dumps({
+        "leg": tag,
+        "wall_s": round(wall, 1),
+        "ibp_wall_s": rep.get("wall_seconds"),
+        "rounds_run": rep.get("rounds_run"),
+        "stop_reason": rep.get("stop_reason"),
+        "n_original": rep.get("n_original"),
+        "n_debiased": rep.get("n_debiased"),
+        "resumed_from_round": rep.get("resumed_from_round"),
+        "round_walls_s": [a.get("round_wall_s") for a in rep["per_round"]],
+        "blind_acc_trajectory": [a["blind_accuracy"] for a in rep["per_round"]],
+        "numeric_mra_trajectory": [a.get("numeric_mra")
+                                   for a in rep["per_round"]],
+        "chance": rep.get("final_chance"),
+        "planted_frac_removed": removed_frac,
+        "planted_frac_kept": kept_frac,
+        "n_removed": n_removed,
+        "sx_seed_spearman": rep.get("sx_seed_spearman"),
+    }), flush=True)
+    return rep
+
+
+def _ibp_args(n, out, model_sets, rounds, extra=()):
+    return [
+        "debias-ibp", "--bench", "synthetic-vsi:0.4", "--k", "5",
+        "--set", f"data.n={n}", "--set", "optim.pack=true",
+        "--set", "optim.pack_len=1024", "--set", "ibp.diagnostic=sft",
+        "--set", f"ibp.rounds={rounds}", "--set", "ibp.prune_rate=0.2",
+        "--set", "ibp.stop_epsilon=0.0", "--out", out,
+        *model_sets, *extra,
+    ]
+
+
+M_05B = ["--set", "model.name=qwen2.5-0.5b", "--set", "optim.epochs=3",
+         "--set", "optim.batch_size=3", "--set", 'model.remat="dots"']
+M_8B = ["--set", "model.name=llama3-8b", "--set", "model.quantize=int8",
+        "--set", 'model.remat="attn"', "--set", "optim.epochs=2",
+        "--set", "optim.batch_size=1"]
+
+
+def main_ibp():
+    rep = _ibp_leg("ibp_05b_vsi5k_k5_packed",
+                   _ibp_args(N_05B, "/tmp/ns_ibp05", M_05B, rounds=5),
+                   "/tmp/ns_ibp05")
+    if RESUME and rep is not None:
+        import shutil
+
+        shutil.rmtree("/tmp/ns_ibp05_res", ignore_errors=True)
+        # crash after round 2 (state persisted), then resume to completion;
+        # the debiased split must be byte-identical to the uninterrupted run
+        _ibp_leg("ibp_05b_crash_injected",
+                 _ibp_args(N_05B, "/tmp/ns_ibp05_res", M_05B, rounds=5,
+                           extra=["--set", "ibp.fail_after_rounds=2"]),
+                 "/tmp/ns_ibp05_res", expect_fail=True)
+        rep2 = _ibp_leg("ibp_05b_resumed",
+                        _ibp_args(N_05B, "/tmp/ns_ibp05_res", M_05B, rounds=5),
+                        "/tmp/ns_ibp05_res")
+        if rep2 is not None:
+            same = (open("/tmp/ns_ibp05/debiased.jsonl").read()
+                    == open("/tmp/ns_ibp05_res/debiased.jsonl").read())
+            print(json.dumps({
+                "leg": "ibp_05b_resume_identity",
+                "resumed_from_round": rep2.get("resumed_from_round"),
+                "split_identical": same,
+            }), flush=True)
+    if N_8B > 0:
+        # R=3 bounds the 8B leg to a single-chip hour; the 0.5B leg carries
+        # the full R=5 trajectory evidence
+        _ibp_leg("ibp_8b_int8_k5_packed",
+                 _ibp_args(N_8B, "/tmp/ns_ibp8", M_8B, rounds=3),
+                 "/tmp/ns_ibp8")
 
 
 def main():
@@ -82,4 +199,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main_ibp() if IBP else main()

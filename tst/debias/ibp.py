@@ -104,6 +104,7 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
         last_scored = np.asarray(state["last_scored"], np.int64)
         rounds_run = start_round
     for r in range(start_round, cfg.ibp.rounds):
+        t_round = time.time()
         sub_idx = np.flatnonzero(alive)
         sub = ds.subset(sub_idx)
         if use_sft:
@@ -134,6 +135,10 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
                     "open_accuracy", "open_chance_accuracy"):
             if key in stats:
                 row[key] = round(float(stats[key]), 4)
+        # per-round wall (train + score for this round) — the anchor runs
+        # (scripts/northstar_anchor.py ibp) read these to show the pinned
+        # program shapes hold the round cost flat as the set shrinks
+        row["round_wall_s"] = round(time.time() - t_round, 2)
         audit.append(row)
         # per-answer-type stop rule: EVERY exploitability signal present on
         # the surviving set must be within eps of its chance level (MCQ:
