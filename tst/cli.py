@@ -182,7 +182,7 @@ def cmd_generate(args) -> int:
     report = run_generate(
         ds, cfg, max_new=args.max_new, draft_model=args.draft_model,
         draft_path=args.draft_path, draft_quantize=args.draft_quantize,
-        gamma=args.gamma)
+        gamma=args.gamma, adapter_dir=args.adapter, fold=args.fold)
     print(json.dumps(report, indent=2, default=float))
     return 0
 
@@ -314,13 +314,14 @@ def build_parser() -> argparse.ArgumentParser:
                                  "read-bound; int8 halves the draft steps)")
             sp.add_argument("--gamma", type=int, default=4,
                             help="draft tokens proposed per verify round")
-        if name == "eval-blind":
+        if name in ("eval-blind", "generate"):
             sp.add_argument("--adapter", default=None,
-                            help="Orbax LoRA checkpoint dir to score with "
+                            help="Orbax LoRA checkpoint dir to serve "
                                  "(default: zero-shot base model)")
             sp.add_argument("--fold", default="0",
                             help="which fold's adapter serves: an index, or "
                                  "'mean' to average adapters across folds")
+        if name == "eval-blind":
             sp.add_argument("--full-accuracy", type=float, default=None,
                             help="externally measured WITH-vision accuracy; "
                                  "adds the vision_blind_gap to the report")
