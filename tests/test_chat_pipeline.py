@@ -60,6 +60,7 @@ def _cfg(chat_tok_dir, tmp_path, style):
     return cfg
 
 
+@pytest.mark.slow  # ~23 s on the 1-core host
 def test_chat_pipeline_detects_planted_bias(chat_tok_dir, tmp_path):
     ds = make_synthetic_mcq(n=48, bias_fraction=1.0, bias_kind="position",
                             seed=0)
@@ -72,6 +73,7 @@ def test_chat_pipeline_detects_planted_bias(chat_tok_dir, tmp_path):
     assert rep["blind_accuracy"] > rep["chance_accuracy"] + 0.2, rep
 
 
+@pytest.mark.slow  # ~31 s on the 1-core host
 def test_chat_and_completion_agree_on_shape(chat_tok_dir, tmp_path):
     """Same dataset, both prompt styles: both must produce a full report
     with per-sample s(x) (smoke that nothing silently drops rows)."""

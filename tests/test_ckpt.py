@@ -62,6 +62,7 @@ class TestCheckpointResume:
         # restored with the donor's shardings
         assert jax.tree.leaves(lora2)[0].sharding == jax.tree.leaves(lora)[0].sharding
 
+    @pytest.mark.slow  # ~17 s on the 1-core host
     def test_crash_resume_matches_uninterrupted(self, setup, tmp_path):
         """Fault-inject at step 4 of 8; resume must reproduce the full run."""
         trainer, params, batches, (tokens, mask, pos) = setup

@@ -66,6 +66,7 @@ class TestIBPEndToEnd:
         cfg.out_dir = tempfile.mkdtemp()
         return cfg
 
+    @pytest.mark.slow  # ~7 s on the 1-core host
     def test_prunes_planted_bias_first(self):
         ds = make_synthetic_mcq(n=300, bias_fraction=0.4,
                                 bias_kind="longest_option", seed=3)

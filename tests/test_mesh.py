@@ -91,6 +91,7 @@ class TestShardedTraining:
                                   tb.option_token_ids, tb.n_options, fid, k, batch=8)
         return log, probs
 
+    @pytest.mark.slow  # ~28 s on the 1-core host
     def test_sharded_matches_single_device(self):
         log_1, probs_1 = self._train(mesh=None)
         mesh = mesh_mod.make_mesh(fold=2, data=2, tensor=2)
@@ -98,6 +99,7 @@ class TestShardedTraining:
         np.testing.assert_allclose(log_1.losses, log_8.losses, rtol=2e-3)
         np.testing.assert_allclose(probs_1, probs_8, atol=2e-3)
 
+    @pytest.mark.slow  # ~17 s on the 1-core host
     def test_sharded_int4_base_matches_single_device(self):
         """int4-g128 grouped scales shard on the tensor axis ([*, in/g, 1,
         out] pspecs) — the sharded LoRA-on-int4 train must match 1-device
@@ -135,6 +137,7 @@ class TestShardedTraining:
         losses_8 = train(mesh=mesh_mod.make_mesh(fold=2, data=2, tensor=2))
         np.testing.assert_allclose(losses_1, losses_8, rtol=2e-3)
 
+    @pytest.mark.slow  # ~16 s on the 1-core host
     def test_ring_training_matches_dense(self):
         """Sequence-parallel (ring attention) training == dense numerics."""
         spec = spec_by_name("tiny", dtype=jnp.float32)
@@ -162,6 +165,7 @@ class TestShardedTraining:
         ring_losses = train(mesh=mesh, ring=True)
         np.testing.assert_allclose(dense_losses, ring_losses, rtol=2e-3)
 
+    @pytest.mark.slow  # ~9 s on the 1-core host
     def test_fold_parallel_matches_fold_sequential(self):
         """vmapped fold axis == training each fold as its own program."""
         spec = spec_by_name("tiny", dtype=jnp.float32)

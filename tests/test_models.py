@@ -58,6 +58,7 @@ class TestDecoderBasics:
         l2 = apply_model(params, tokens, spec, remat=True)
         np.testing.assert_allclose(l1, l2, atol=1e-5)
 
+    @pytest.mark.slow  # ~9 s on the 1-core host
     def test_unroll_layer_loop_matches_scan(self, monkeypatch):
         """LAYER_LOOP='unroll' (Python loop over layers) must be numerically
         identical to the default lax.scan path, for logits, KV stacks, and

@@ -293,6 +293,7 @@ class TestPackedLossParity:
                                  lspec, seg_starts=jnp.asarray(pb.seg_starts))
         np.testing.assert_allclose(float(packed), float(flat), rtol=2e-5)
 
+    @pytest.mark.slow  # ~9 s on the 1-core host
     def test_window_grads_equal(self):
         spec, params, lspec, lora, tb, pb = _packed_vs_flat_setup()
         t_max = int(np.max(tb.lengths - tb.answer_pos - 1))
@@ -377,6 +378,7 @@ class TestPackedPipeline:
         assert np.isfinite(report["final_loss"])
 
 
+@pytest.mark.slow  # ~8 s on the 1-core host
 class TestRowTiledFoldedOneshot:
     """The groups*S > FOLD_MAX_ROWS, S <= FOLD_ONESHOT_MAX_S auto branch:
     folded schedule with one group per row tile and a whole-KV tile."""
@@ -558,6 +560,7 @@ class TestPackedIBP:
         assert kept_p == kept_u  # identical rows pruned, identical order
 
 
+@pytest.mark.slow  # ~12 s on the 1-core host
 class TestPackedTransfer:
     def test_train_transfer_with_packing(self, tmp_path):
         from tst.config import RunConfig
@@ -580,6 +583,7 @@ class TestPackedTransfer:
         assert 0.0 <= rep["blind_accuracy"] <= 1.0
 
 
+@pytest.mark.slow  # ~7 s on the 1-core host
 class TestMidSeqFoldedDispatch:
     """groups*S <= FOLD_MAX_ROWS but S >= 1024: the dispatch now takes the
     row-tiled one-shot (whole-rows + kv tiles VMEM-OOMs at d=128 on 8B

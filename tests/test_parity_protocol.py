@@ -131,6 +131,7 @@ def test_compare_spearman_against_reference_sx(tmp_path, capsys):
     assert report["spearman"] >= 0.99, report
 
 
+@pytest.mark.slow  # ~29 s on the 1-core host
 def test_diagnose_sft_reports_cross_diagnostic_spearman(tmp_path):
     """Every diagnose-sft report carries Spearman(s_x_rf, s_x_sft) — the
     self-measured analogue of the cross-implementation parity number."""

@@ -49,6 +49,7 @@ def _tiny_hf_checkpoint(tmp_path):
 
 
 class TestStreamingQuantLoad:
+    @pytest.mark.slow  # ~11 s on the 1-core host
     def test_quantizing_put_through_load_checkpoint(self, tmp_path):
         from tst.models.hf_load import load_checkpoint, spec_from_hf_config
 

@@ -62,6 +62,7 @@ class TestRingAttention:
         ref = mha_reference(q, k, v, causal=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
+    @pytest.mark.slow  # ~43 s on the 1-core host
     def test_differentiable(self):
         """Long-seq *training* path: grads flow through ppermute + combine."""
         q, k, v = _make(s=256)

@@ -62,6 +62,7 @@ class TestLossAndTraining:
         params = init_params(jax.random.key(0), spec)
         return ds, tb, fid, spec, params
 
+    @pytest.mark.slow  # ~72 s on the 1-core host
     def test_loss_decreases(self):
         ds, tb, fid, spec, params = self._setup()
         lspec = LoraSpec(rank=8, alpha=16, dtype=jnp.float32)
@@ -208,6 +209,7 @@ class TestDiagnosticSemantics:
         assert np.isfinite(s_x[~gold_numeric]).all()
 
 
+@pytest.mark.slow  # ~8 s on the 1-core host
 class TestPackedScorer:
     """Packed held-out MCQ scoring must reproduce the unpacked scorer's
     probabilities exactly (segment isolation + per-segment RoPE restart make
