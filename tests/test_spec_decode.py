@@ -167,3 +167,79 @@ class TestJit:
         got = np.asarray(fn(draft, params, tokens, plen))
         want = np.asarray(greedy_decode(params, tokens, plen, 8, spec))
         np.testing.assert_array_equal(got, want)
+
+
+class TestSpecDecodePipeline:
+    """perf.spec_draft_* routes the numeric/open held-out decode legs
+    through fold-vmapped exact speculative decoding (VERDICT r4 item 6).
+    Trajectory neutrality is the whole contract: identical s(x)."""
+
+    def test_heldout_numeric_scoring_identical_with_draft(self, tiny):
+        from tst.train.infer import score_heldout_numeric
+
+        spec, params = tiny
+        dspec = spec_by_name("small", dtype=jnp.float32)
+        dparams = init_params(jax.random.key(5), dspec)
+        lspec = LoraSpec(rank=4, alpha=8.0, targets=("q_proj", "v_proj"),
+                         dtype=spec.dtype)
+        k = 2
+        keys = jax.random.split(jax.random.key(7), k)
+        lora_k = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[jax.tree.map(lambda x: x + 0.02, init_lora(kk, spec, lspec))
+              for kk in keys])
+        rng = np.random.default_rng(0)
+        n, s = 10, 64
+        tokens, plen = _prompts(rng, b=n, s=s)
+        answer_pos = plen - 1
+        gold = rng.uniform(1, 9, size=n).astype(np.float64)
+        fold_id = np.asarray([i % k for i in range(n)], np.int32)
+        from tst.data.tokenize import ByteTokenizer
+
+        tok = ByteTokenizer()
+        plain = score_heldout_numeric(
+            params, lora_k, spec, lspec, tokens, answer_pos, gold,
+            fold_id, k, tokenizer=tok, max_new=8)
+        spec_out = score_heldout_numeric(
+            params, lora_k, spec, lspec, tokens, answer_pos, gold,
+            fold_id, k, tokenizer=tok, max_new=8,
+            draft=(dspec, dparams), gamma=2)
+        np.testing.assert_array_equal(
+            np.nan_to_num(plain[0], nan=-1), np.nan_to_num(spec_out[0], nan=-1))
+        np.testing.assert_array_equal(
+            np.nan_to_num(plain[1], nan=-1), np.nan_to_num(spec_out[1], nan=-1))
+
+    def test_diagnose_sft_trajectory_neutral(self, tmp_path):
+        """End-to-end: a diagnose-sft run with perf.spec_draft_model set
+        produces the same s(x) artifact as the plain run."""
+        import json
+
+        from tst.config import RunConfig
+        from tst.data.adapters import load_benchmark
+        from tst.train.pipeline import run_sft_diagnostic
+
+        def run(out, spec_draft):
+            cfg = RunConfig()
+            cfg.data.k = 2
+            cfg.data.max_len = 160
+            cfg.model.name = "tiny"
+            cfg.model.dtype = "float32"
+            cfg.model.use_pallas = False
+            cfg.lora.rank = 4
+            cfg.lora.alpha = 8.0
+            cfg.lora.targets = ("q_proj", "v_proj")
+            cfg.optim.epochs = 2
+            cfg.optim.batch_size = 8
+            cfg.perf.spec_draft_model = spec_draft
+            cfg.perf.spec_draft_quantize = "none"
+            cfg.out_dir = str(tmp_path / out)
+            ds = load_benchmark("synthetic-numeric", n=24, seed=3)
+            return run_sft_diagnostic(ds, cfg)
+
+        rep_plain = run("plain", "")
+        rep_spec = run("spec", "small")
+        assert rep_spec["numeric_blind_mra"] == rep_plain["numeric_blind_mra"]
+        sx_p = (tmp_path / "plain" / "sx.jsonl").read_text()
+        sx_s = (tmp_path / "spec" / "sx.jsonl").read_text()
+        assert [json.loads(l)["s_x"] for l in sx_s.splitlines()] == \
+               [json.loads(l)["s_x"] for l in sx_p.splitlines()]

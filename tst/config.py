@@ -147,6 +147,15 @@ class PerfConfig:
     fused_bwd: Optional[bool] = None
     #: software-pipelined int4 dequant-matmul body (quant_matmul.PIPELINE)
     quant_pipeline: Optional[bool] = None
+    #: EXACT speculative decoding for the numeric/open held-out decode legs
+    #: (tst/models/spec_decode.py): outputs are bit-identical to plain
+    #: greedy decode, so these ride perf.* — trajectory-neutral and
+    #: excluded from the IBP config hash like every kernel knob. Empty =
+    #: plain decode. Measured round costs: scripts/probe_spec_decode.py.
+    spec_draft_model: str = ""
+    spec_draft_path: Optional[str] = None
+    spec_draft_quantize: str = "int4"
+    spec_gamma: int = 2
 
 
 @dataclasses.dataclass

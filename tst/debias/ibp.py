@@ -465,6 +465,13 @@ class _SftRoundRunner:
             fused_mlp=cfg.model.fused_mlp, packed=bool(self.pack_len),
         )
         self._on_tpu = cfg.model.use_pallas and jax.default_backend() == "tpu"
+        #: perf.spec_draft_*: exact speculative decoding for the numeric/
+        #: open decode legs — bit-identical outputs, so trajectory-neutral
+        #: (excluded from the IBP config hash with the rest of perf.*).
+        #: Built once; decode repeats rounds x seeds, where the draft pays.
+        from tst.train.pipeline import build_draft_model
+
+        self.draft = build_draft_model(cfg, self.tokenizer)
 
     def run_round(self, r: int, alive: np.ndarray):
         """→ (s_x over surviving rows, their fold ids, blind_acc, chance)."""
@@ -606,6 +613,7 @@ class _SftRoundRunner:
                     self.answer_pos, np.where(alive, gold_values, np.nan),
                     fold_global, self.k, tokenizer=self.tokenizer,
                     use_pallas=self._on_tpu, pad_to=self.pad_numeric,
+                    draft=self.draft, gamma=cfg.perf.spec_gamma,
                 )
                 seed_s_num.append(s_num_i)
             if has_open:
@@ -616,6 +624,7 @@ class _SftRoundRunner:
                     self.answer_pos, gold_texts, fold_global, self.k,
                     tokenizer=self.tokenizer, use_pallas=self._on_tpu,
                     pad_to=self.pad_open,
+                    draft=self.draft, gamma=cfg.perf.spec_gamma,
                 )
                 seed_s_open.append(s_open_i)
         probs = np.mean(seed_probs, axis=0) if len(seed_probs) > 1 else seed_probs[0]

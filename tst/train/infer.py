@@ -401,7 +401,8 @@ _DECODE_CACHE: Dict = {}
 
 
 def decode_chunk_rows(spec: ModelSpec, seq_len: int, max_new: int,
-                      k: int, base_bytes: Optional[int] = None) -> int:
+                      k: int, base_bytes: Optional[int] = None,
+                      draft_spec: Optional[ModelSpec] = None) -> int:
     """Rows-per-fold chunk for held-out decode. The KV cache is the dominant
     allocation (k·rows × [L, S+pad, KVH, dh] × 2); its budget is what a
     16 GB chip has left after the base weights (~10.5 GB for base+cache,
@@ -417,6 +418,12 @@ def decode_chunk_rows(spec: ModelSpec, seq_len: int, max_new: int,
     itemsize = jnp.dtype(spec.dtype).itemsize  # cache lives in spec.dtype
     row_bytes = (spec.n_layers * s_max * spec.n_kv_heads * spec.d_head
                  * 2 * itemsize)  # K + V
+    if draft_spec is not None:
+        # speculative path: the draft keeps its own per-row cache over the
+        # same slot range (draft weights ride in base_bytes)
+        row_bytes += (draft_spec.n_layers * s_max * draft_spec.n_kv_heads
+                      * draft_spec.d_head * 2
+                      * jnp.dtype(draft_spec.dtype).itemsize)
     budget = 2.5e9 if base_bytes is None else max(1.5e9, 10.5e9 - base_bytes)
     return max(1, min(32, int(budget / max(k * row_bytes, 1))))
 
@@ -456,11 +463,54 @@ def _make_decode_fn(spec, lora_spec, max_new: int, use_pallas: bool,
     return decode_all
 
 
+def _make_spec_decode_fn(spec, dspec, lora_spec, max_new: int, gamma: int,
+                         use_pallas: bool, with_lora: bool):
+    """Jitted fold-vmapped EXACT speculative decode (perf.spec_draft_*).
+
+    Bit-identical to :func:`_make_decode_fn`'s output by construction
+    (tst/models/spec_decode.py invariant — vmapped exactness pinned by
+    TestSpecDecodePipeline), so routing the numeric/open scoring legs
+    through it is trajectory-neutral. The draft is base-weighted and
+    SHARED across folds; only the target carries the per-fold adapters —
+    draft quality affects acceptance, never correctness. Same
+    jit-boundary rule as _make_decode_fn: params flow as arguments.
+    """
+    key = (spec, dspec, lora_spec, max_new, gamma, use_pallas, with_lora,
+           "spec")
+    cached = _DECODE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from tst.models.decode import layer_loop_for
+    from tst.models.spec_decode import speculative_greedy_decode
+
+    loop = layer_loop_for(spec, fold_vmapped=True)
+    dloop = layer_loop_for(dspec, fold_vmapped=True)
+
+    @jax.jit
+    def decode_all(base, dbase, lora_k, all_tokens, prompt_len, idx_kM):
+        def per_fold(lora, idx_f):
+            return speculative_greedy_decode(
+                dbase, dspec, base, spec, all_tokens[idx_f],
+                prompt_len[idx_f], max_new, gamma=gamma, lora=lora,
+                lora_spec=lora_spec, use_pallas=use_pallas,
+                layer_loop=loop, draft_layer_loop=dloop,
+            )
+
+        if not with_lora:
+            return jax.vmap(lambda i: per_fold(None, i))(idx_kM)
+        return jax.vmap(per_fold)(lora_k, idx_kM)
+
+    _DECODE_CACHE[key] = decode_all
+    return decode_all
+
+
 def _decode_heldout_rows(
     base, lora_k, spec, lora_spec, tokens, answer_pos, rows: np.ndarray,
     fold_id: np.ndarray, k: int, max_new: int, use_pallas: bool,
     pad_to: Optional[int] = None,
     chunk: Optional[int] = None,
+    draft=None,  # (draft_spec, draft_params) → exact speculative decode
+    gamma: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy-decode the given rows with each row's held-out fold model.
 
@@ -485,13 +535,23 @@ def _decode_heldout_rows(
         valid[f, : len(r)] = True
 
     prompt_len = answer_pos + 1  # decode continues right after the marker
-    fn = _make_decode_fn(spec, lora_spec, max_new, use_pallas,
-                         with_lora=lora_k is not None)
+    if draft is not None:
+        dspec, dparams = draft
+        fn0 = _make_spec_decode_fn(spec, dspec, lora_spec, max_new, gamma,
+                                   use_pallas, with_lora=lora_k is not None)
+        fn = (lambda b, lk, t, pl, i: fn0(b, dparams, lk, t, pl, i))
+    else:
+        fn = _make_decode_fn(spec, lora_spec, max_new, use_pallas,
+                             with_lora=lora_k is not None)
     if chunk is None:
         from tst.models.quant import quantized_bytes
 
+        bb = quantized_bytes(base)
+        if draft is not None:
+            bb += quantized_bytes(draft[1])
         chunk = decode_chunk_rows(spec, tokens.shape[1], max_new, k,
-                                  base_bytes=quantized_bytes(base))
+                                  base_bytes=bb,
+                                  draft_spec=draft[0] if draft else None)
     mc = min(m, max(int(chunk), 1))
     pad = (-m) % mc
     idx_p = np.pad(idx, ((0, 0), (0, pad)))
@@ -521,6 +581,8 @@ def score_heldout_numeric(
     max_new: int = 12,
     use_pallas: bool = False,
     pad_to: Optional[int] = None,
+    draft=None,  # (draft_spec, draft_params) → exact speculative decode
+    gamma: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy-decode numeric answers with each row's held-out fold model.
 
@@ -541,6 +603,7 @@ def score_heldout_numeric(
     gen, idx, valid = _decode_heldout_rows(
         base, lora_k, spec, lora_spec, tokens, answer_pos, numeric_rows,
         fold_id, k, max_new, use_pallas, pad_to=pad_to,
+        draft=draft, gamma=gamma,
     )
     for f in range(k):
         rows = idx[f][valid[f]]
@@ -568,6 +631,8 @@ def score_heldout_open(
     max_new: int = 16,
     use_pallas: bool = False,
     pad_to: Optional[int] = None,
+    draft=None,  # (draft_spec, draft_params) → exact speculative decode
+    gamma: int = 2,
 ) -> Tuple[list, np.ndarray]:
     """Greedy-decode open (free-form) answers with each row's held-out fold
     model and score by normalized exact match (VERDICT r1 item 5: MMMU's open
@@ -589,6 +654,7 @@ def score_heldout_open(
     gen, idx, valid = _decode_heldout_rows(
         base, lora_k, spec, lora_spec, tokens, answer_pos, open_rows,
         fold_id, k, max_new, use_pallas, pad_to=pad_to,
+        draft=draft, gamma=gamma,
     )
     for f in range(k):
         rows = idx[f][valid[f]]

@@ -114,6 +114,23 @@ def build_model(cfg: RunConfig, tokenizer, mesh=None) -> Tuple[ModelSpec, Dict[s
     return spec, params
 
 
+def build_draft_model(cfg: RunConfig, tokenizer):
+    """(draft_spec, draft_params) for ``perf.spec_draft_*``, or None.
+
+    The draft shares the target's tokenizer (a hard requirement of exact
+    speculative decoding) and is base-weighted — it never sees adapters.
+    """
+    if not (cfg.perf.spec_draft_model or cfg.perf.spec_draft_path):
+        return None
+    import dataclasses
+
+    dcfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, name=cfg.perf.spec_draft_model or cfg.model.name,
+        path=cfg.perf.spec_draft_path,
+        quantize=cfg.perf.spec_draft_quantize))
+    return build_model(dcfg, tokenizer)
+
+
 def _merge_logs(a, b):
     """Concatenate per-epoch TrainLogs into one run-level log."""
     if a is None:
@@ -447,10 +464,12 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         np.float32,
     )
     numeric_mra = None
+    draft = build_draft_model(cfg, tokenizer)  # perf.spec_draft_*; None=off
     if np.isfinite(gold_values).any():
         pred_values, s_num = _timed("numeric_decode", lambda: score_heldout_numeric(
             params, lora, spec, lspec, tokens, answer_pos, gold_values,
             fold_id, k, tokenizer=tokenizer, use_pallas=on_tpu,
+            draft=draft, gamma=cfg.perf.spec_gamma,
         ))
         s_x = np.where(np.isfinite(s_num), s_num, s_x)
         numeric_mra = float(metrics.mra(np.nan_to_num(pred_values), gold_values))
@@ -463,6 +482,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         _, s_open = _timed("open_decode", lambda: score_heldout_open(
             params, lora, spec, lspec, tokens, answer_pos, gold_texts,
             fold_id, k, tokenizer=tokenizer, use_pallas=on_tpu,
+            draft=draft, gamma=cfg.perf.spec_gamma,
         ))
         s_x = np.where(np.isfinite(s_open), s_open, s_x)
         open_acc = float(np.nanmean(s_open))

@@ -103,6 +103,10 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
     tokens_ev, _, pos_ev = _device_data(tb_eval, mesh)
     eval_fold0 = np.zeros(tb_eval.n, np.int32)
 
+    from tst.train.pipeline import build_draft_model
+
+    draft = build_draft_model(cfg, tokenizer)  # perf.spec_draft_*; None=off
+
     def _score_all(lora_or_none, lspec_or_none):
         leg: Dict[str, Any] = {}
         if int(np.max(tb_eval.n_options, initial=0)) > 0:
@@ -124,7 +128,7 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
             pred_values, _ = score_heldout_numeric(
                 params, lora_or_none, spec, lspec_or_none, tokens_ev, pos_ev,
                 gold_values, fold_id=eval_fold0, k=1, tokenizer=tokenizer,
-                use_pallas=on_tpu,
+                use_pallas=on_tpu, draft=draft, gamma=cfg.perf.spec_gamma,
             )
             leg["numeric_blind_mra"] = round(
                 float(metrics.mra(np.nan_to_num(pred_values), gold_values)), 4)
@@ -135,7 +139,7 @@ def run_train_transfer(train_ds: BlindDataset, eval_ds: BlindDataset,
             _, s_open = score_heldout_open(
                 params, lora_or_none, spec, lspec_or_none, tokens_ev, pos_ev,
                 gold_texts, fold_id=eval_fold0, k=1, tokenizer=tokenizer,
-                use_pallas=on_tpu,
+                use_pallas=on_tpu, draft=draft, gamma=cfg.perf.spec_gamma,
             )
             leg["open_blind_accuracy"] = round(float(np.nanmean(s_open)), 4)
             leg["n_open"] = int(sum(g is not None for g in gold_texts))
