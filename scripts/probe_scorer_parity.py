@@ -18,8 +18,11 @@ Each leg prints ONE JSON line; pin the Spearman in docs/RESULTS.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
