@@ -40,3 +40,21 @@ def test_warmup_covers_numeric_decode(tmp_path, capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out)
     assert "decode_numeric_compile_s" in report, report
+
+
+def test_warmup_covers_spec_decode_draft(tmp_path, capsys):
+    """With perf.spec_draft_* set, warmup compiles the fold-vmapped
+    SPECULATIVE decode program — the one the run will actually execute."""
+    out = str(tmp_path / "warm3")
+    rc = main([
+        "warmup", "--platform", "cpu", "--bench", "synthetic-numeric",
+        "--k", "2", "--set", "data.n=32", "--set", "model.name=tiny",
+        "--set", "model.dtype=float32", "--set", "model.use_pallas=false",
+        "--set", "optim.batch_size=8",
+        "--set", "perf.spec_draft_model=small",
+        "--set", "perf.spec_draft_quantize=none",
+        "--out", out,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert "decode_numeric_compile_s" in report, report

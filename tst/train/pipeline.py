@@ -281,7 +281,7 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
             scorer.lower(st.params, st.lora, st.tokens, st.answer_pos,
                          jnp.asarray(tb.option_token_seqs),
                          jnp.asarray(idx)).compile()
-        elif st.pack is not None:
+        elif st.pack is not None and cfg.optim.packed_scorer:
             from tst.train.infer import (make_mcq_scorer_packed,
                                          pack_heldout_mcq, packed_scorer_batch)
 
@@ -300,6 +300,7 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
                          jnp.asarray(idx)).compile()
         report["scorer_compile_s"] = round(time.time() - t0, 2)
 
+    draft = build_draft_model(cfg, st.tokenizer)  # perf.spec_draft_*
     for kind, max_new in (("numeric", 12), ("open", 16)):
         rows = np.flatnonzero(
             np.array([s.answer_type == kind for s in ds], bool))
@@ -312,12 +313,28 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
         # unchunked [k, m] one the run never executes
         from tst.models.quant import quantized_bytes
 
-        mc = min(m, decode_chunk_rows(spec, tb.seq_len, max_new, k,
-                                      base_bytes=quantized_bytes(st.params)))
+        bb = quantized_bytes(st.params)
+        if draft is not None:
+            bb += quantized_bytes(draft[1])
+        mc = min(m, decode_chunk_rows(
+            spec, tb.seq_len, max_new, k, base_bytes=bb,
+            draft_spec=draft[0] if draft else None))
         t0 = time.time()
-        fn = _make_decode_fn(spec, lspec, max_new, on_tpu, with_lora=True)
-        fn.lower(st.params, st.lora, st.tokens, st.answer_pos + 1,
-                 jnp.zeros((k, mc), jnp.int32)).compile()
+        if draft is not None:
+            # the run routes these legs through fold-vmapped speculative
+            # decode — warm THAT program, not the plain one it never runs
+            from tst.train.infer import _make_spec_decode_fn
+
+            fn = _make_spec_decode_fn(spec, draft[0], lspec, max_new,
+                                      cfg.perf.spec_gamma, on_tpu,
+                                      with_lora=True)
+            fn.lower(st.params, draft[1], st.lora, st.tokens,
+                     st.answer_pos + 1, jnp.zeros((k, mc), jnp.int32)
+                     ).compile()
+        else:
+            fn = _make_decode_fn(spec, lspec, max_new, on_tpu, with_lora=True)
+            fn.lower(st.params, st.lora, st.tokens, st.answer_pos + 1,
+                     jnp.zeros((k, mc), jnp.int32)).compile()
         report[f"decode_{kind}_compile_s"] = round(time.time() - t0, 2)
 
     report["wall_seconds"] = round(time.time() - t_start, 2)
@@ -464,7 +481,11 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
         np.float32,
     )
     numeric_mra = None
-    draft = build_draft_model(cfg, tokenizer)  # perf.spec_draft_*; None=off
+    _gold_texts = [s.answer if s.answer_type == "open" else None for s in ds]
+    draft = None  # perf.spec_draft_*; only built when a decode leg runs
+    if np.isfinite(gold_values).any() or any(g is not None
+                                             for g in _gold_texts):
+        draft = build_draft_model(cfg, tokenizer)
     if np.isfinite(gold_values).any():
         pred_values, s_num = _timed("numeric_decode", lambda: score_heldout_numeric(
             params, lora, spec, lspec, tokens, answer_pos, gold_values,
