@@ -250,6 +250,29 @@ class TestPackedScorer:
         # every scored row is a distribution over its valid options
         np.testing.assert_allclose(got[is_mcq].sum(-1), 1.0, atol=1e-4)
 
+    def test_pad_rows_to_pins_and_guards(self):
+        """pad_rows_to pins the packed scorer grid (IBP round invariant):
+        a larger pin pads with dead rows and changes nothing; a pin below
+        the real packed row count raises instead of silently truncating."""
+        import pytest as _pytest
+
+        from tst.train.infer import (pack_heldout_mcq, packed_scorer_batch,
+                                     score_heldout_mcq_packed)
+
+        ds, tb, fid, spec, params, lspec, lora = self._setup()
+        mcq_fold = np.where(tb.gold >= 0, fid, -1)
+        b = packed_scorer_batch(512)
+        ptok, _, _, _ = pack_heldout_mcq(tb, mcq_fold, 3, 512, b)
+        r0 = ptok.shape[1]
+        base = score_heldout_mcq_packed(
+            params, lora, spec, lspec, tb, mcq_fold, k=3, pack_len=512)
+        pinned = score_heldout_mcq_packed(
+            params, lora, spec, lspec, tb, mcq_fold, k=3, pack_len=512,
+            pad_rows_to=r0 + 2 * b)
+        np.testing.assert_array_equal(pinned, base)
+        with _pytest.raises(ValueError, match="pinned grid"):
+            pack_heldout_mcq(tb, mcq_fold, 3, 512, b, pad_rows_to=r0 - b)
+
     def test_masked_fold_grid_matches_full(self):
         """Scoring with numeric rows masked out of the grid (fold id -1) must
         leave MCQ probabilities untouched vs scoring every row."""
