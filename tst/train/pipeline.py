@@ -714,13 +714,19 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
                                   name=ds.name)
     report["n_mcq"] = int((np.asarray(tb.n_options) > 0).sum())
     gold_texts = [s.answer if s.answer_type == "open" else None for s in ds]
+    draft = None  # perf.spec_draft_*: exact speculative decode legs
+    if (any(g is not None for g in gold_texts)
+            or np.isfinite(np.asarray(
+                [s.answer_value if s.answer_type == "numeric" else np.nan
+                 for s in ds], np.float64)).any()):
+        draft = build_draft_model(cfg, tokenizer)
     if any(g is not None for g in gold_texts):
         # with an adapter: decode open answers through the same fold-0 adapter
         _, s_open = score_heldout_open(
             params, one if adapter_dir else None, spec,
             lspec if adapter_dir else None, tokens, answer_pos, gold_texts,
             fold_id=np.zeros(tb.n, np.int32), k=1, tokenizer=tokenizer,
-            use_pallas=on_tpu,
+            use_pallas=on_tpu, draft=draft, gamma=cfg.perf.spec_gamma,
         )
         report["open_blind_accuracy"] = round(float(np.nanmean(s_open)), 4)
         report["n_open"] = int(sum(g is not None for g in gold_texts))
@@ -735,7 +741,7 @@ def run_blind_eval(ds: BlindDataset, cfg: RunConfig,
             params, one if adapter_dir else None, spec,
             lspec if adapter_dir else None, tokens, answer_pos, gold_values,
             fold_id=np.zeros(tb.n, np.int32), k=1, tokenizer=tokenizer,
-            use_pallas=on_tpu,
+            use_pallas=on_tpu, draft=draft, gamma=cfg.perf.spec_gamma,
         )
         report["numeric_blind_mra"] = round(
             float(metrics.mra(np.nan_to_num(pred_values), gold_values)), 4)
