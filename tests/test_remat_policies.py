@@ -48,7 +48,10 @@ def test_remat_modes_match_no_remat(remat):
 
 
 @pytest.mark.parametrize("remat", ["dots", "attn", "flash"])
-@pytest.mark.parametrize("use_pallas", [False, True])
+@pytest.mark.parametrize("use_pallas", [
+    False,
+    pytest.param(True, marks=pytest.mark.slow),  # interpret-mode: ~8-13 s each
+])
 def test_remat_modes_with_packed_rows(remat, use_pallas, monkeypatch):
     """Packed rows (seg_starts + per-segment answer windows) under each remat
     policy match the same packed loss with no remat — the 8B k=5 packed leg
@@ -92,7 +95,10 @@ def test_unknown_remat_mode_rejected():
         _loss_and_grads("bogus")
 
 
-@pytest.mark.parametrize("remat", ["dots_flash", "attn", "flash"])
+@pytest.mark.parametrize("remat", [
+    pytest.param("dots_flash", marks=pytest.mark.slow),  # ~12 s interpret-mode
+    "attn", "flash",
+])
 def test_flash_residual_remat_modes_with_pallas(remat, monkeypatch):
     """The dots_flash/attn policies exist to SAVE the Pallas kernel's
     checkpoint_name residuals (flash_out/flash_lse inside the custom_vjp) —

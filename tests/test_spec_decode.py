@@ -209,6 +209,7 @@ class TestSpecDecodePipeline:
         np.testing.assert_array_equal(
             np.nan_to_num(plain[1], nan=-1), np.nan_to_num(spec_out[1], nan=-1))
 
+    @pytest.mark.slow  # ~22 s on the 1-core host (two full diagnose-sft runs)
     def test_diagnose_sft_trajectory_neutral(self, tmp_path):
         """End-to-end: a diagnose-sft run with perf.spec_draft_model set
         produces the same s(x) artifact as the plain run."""

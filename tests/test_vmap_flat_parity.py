@@ -30,6 +30,7 @@ def setup():
     return spec, lspec, params, tb
 
 
+@pytest.mark.slow  # ~10 s on the 1-core host
 def test_vmapped_loss_and_grads_equal_unvmapped(setup):
     """vmap over the fold axis must be a pure batching transform: fold f's
     loss/grads inside the vmapped program == the same fold computed alone."""

@@ -9,6 +9,8 @@ per-program compile walls.
 import json
 import os
 
+import pytest
+
 from tst.cli import main
 
 
@@ -28,6 +30,7 @@ def test_warmup_end_to_end(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "warmup_report.json"))
 
 
+@pytest.mark.slow  # ~10 s on the 1-core host
 def test_warmup_covers_numeric_decode(tmp_path, capsys):
     """A mixed MCQ+numeric dataset warms the decode program too."""
     out = str(tmp_path / "warm2")
