@@ -126,7 +126,7 @@ def cmd_warmup(args) -> int:
 
     cfg = _resolve(args)
     ds = _load_dataset(cfg)
-    report = run_warmup(ds, cfg)
+    report = run_warmup(ds, cfg, ibp=args.ibp)
     print(json.dumps(report, indent=2, default=float))
     return 0
 
@@ -296,6 +296,11 @@ def build_parser() -> argparse.ArgumentParser:
     ]:
         sp = sub.add_parser(name)
         _common_flags(sp, default_platform=plat)
+        if name == "warmup":
+            sp.add_argument("--ibp", action="store_true",
+                            help="warm the debias-ibp round programs "
+                                 "(round-0-pinned shapes + total_steps0 LR "
+                                 "constant) instead of the diagnose-sft ones")
         if name == "train-transfer":
             sp.add_argument("--train-bench", required=True,
                             help="training benchmark (e.g. a VSI-Train-10k jsonl)")

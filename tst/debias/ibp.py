@@ -139,6 +139,8 @@ def run_ibp(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
         # (scripts/northstar_anchor.py ibp) read these to show the pinned
         # program shapes hold the round cost flat as the set shrinks
         row["round_wall_s"] = round(time.time() - t_round, 2)
+        for k2, v in (stats.get("walls") or {}).items():
+            row[f"round_{k2}"] = v
         audit.append(row)
         # per-answer-type stop rule: EVERY exploitability signal present on
         # the surviving set must be within eps of its chance level (MCQ:
@@ -362,6 +364,42 @@ def _nanmean_rows(rows: List[np.ndarray]) -> np.ndarray:
     return np.where(count > 0, total / np.maximum(count, 1), np.nan)
 
 
+def round0_sizing(ds, cfg, k: int) -> Dict[str, Optional[int]]:
+    """Round-0 shape pins for the IBP loop — ONE definition, used by both
+    `_SftRoundRunner` and `tst warmup --ibp` (so warmup compiles programs
+    with exactly the shapes the loop will run; a hand-kept duplicate is how
+    the two silently drift).
+
+    - ``pad_m`` bounds every round's max per-fold held-out count: stratified
+      assignment gives each fold at most ceil(c_s/k) per stratum, so
+      <= ceil(n/k) + n_strata total (later rounds only shrink n and strata).
+    - ``total_steps0`` is an UPPER bound on the largest train split across
+      rounds: the smallest stratified fold holds >= n//k - n_strata rows, so
+      train <= n - n//k + n_strata. Overestimating only stretches the cosine
+      tail; underestimating would clamp late steps to end-LR.
+    - ``pad_numeric``/``pad_open`` apply the same per-fold bound to the
+      decode-scored row grids (None when that answer type is absent).
+    """
+    n = len(ds)
+    b = cfg.optim.batch_size + (-cfg.optim.batch_size) % max(cfg.mesh.data, 1)
+    n_strata = len({(s.category, s.answer_type, s.answer) for s in ds})
+    max_train = n - max(n // k - n_strata, 0)
+
+    def _pad_for(rows_pred):
+        rows = [s for s in ds if rows_pred(s)]
+        if not rows:
+            return None
+        strata = len({(s.category, s.answer_type, s.answer) for s in rows})
+        return min(len(rows), int(np.ceil(len(rows) / k)) + strata)
+
+    return {
+        "total_steps0": int(np.ceil(max_train / b)) * cfg.optim.epochs,
+        "pad_m": min(n, int(np.ceil(n / k)) + n_strata),
+        "pad_numeric": _pad_for(lambda s: s.answer_type == "numeric"),
+        "pad_open": _pad_for(lambda s: s.answer_type == "open"),
+    }
+
+
 class _SftRoundRunner:
     """On-device IBP rounds with the blind-SFT diagnostic [north-star]:
     tokenize ONCE, build/shard the base model ONCE, keep every program shape
@@ -402,34 +440,15 @@ class _SftRoundRunner:
         }
         self.tokens, self.loss_mask, self.answer_pos = _device_data(self.tb, self.mesh)
         self.t_max = int(np.max(self.tb.lengths - self.tb.answer_pos - 1))
-        # Round-0 sizing pins program shapes. pad_m must bound EVERY round's
-        # max per-fold held-out count: stratified assignment gives each fold
-        # at most ceil(c_s/k) per stratum, so <= ceil(n/k) + n_strata total
-        # (later rounds only shrink n and strata).
-        n = len(ds)
-        b = cfg.optim.batch_size + (-cfg.optim.batch_size) % max(cfg.mesh.data, 1)
-        n_strata0 = len({(s.category, s.answer_type, s.answer) for s in ds})
-        # UPPER bound on the largest train split across all rounds: the
-        # smallest stratified fold holds >= n//k - n_strata rows, so train
-        # <= n - n//k + n_strata. Overestimating total_steps only stretches
-        # the cosine tail; underestimating would clamp late steps to end-LR.
-        max_train = n - max(n // self.k - n_strata0, 0)
-        self.total_steps0 = int(np.ceil(max_train / b)) * cfg.optim.epochs
-        n_strata = len({(s.category, s.answer_type, s.answer) for s in ds})
-        self.pad_m = min(n, int(np.ceil(n / self.k)) + n_strata)
-
-        # numeric/open decode grids get the same shape pinning (VERDICT r1
-        # weak #3: they previously retraced every round): bound each fold's
-        # held-out count of those rows by the round-0 stratified-split bound
-        def _pad_for(rows_pred):
-            rows = [s for s in ds if rows_pred(s)]
-            if not rows:
-                return None
-            strata = len({(s.category, s.answer_type, s.answer) for s in rows})
-            return min(len(rows), int(np.ceil(len(rows) / self.k)) + strata)
-
-        self.pad_numeric = _pad_for(lambda s: s.answer_type == "numeric")
-        self.pad_open = _pad_for(lambda s: s.answer_type == "open")
+        # Round-0 sizing pins program shapes (shared with `tst warmup --ibp`
+        # so the warmup compiles the EXACT round programs — round 0 of the
+        # n=300 coverage check otherwise pays ~140 s of compiles the
+        # diagnose-shaped warmup cannot prevent).
+        sizing = round0_sizing(ds, cfg, self.k)
+        self.total_steps0 = sizing["total_steps0"]
+        self.pad_m = sizing["pad_m"]
+        self.pad_numeric = sizing["pad_numeric"]
+        self.pad_open = sizing["pad_open"]
         #: sequence packing (optim.pack): rounds re-pack the surviving set
         #: host-side (~MBs re-uploaded per round) but the ROW-AXIS shape is
         #: pinned to round 0's packed row count, so the jitted train step
@@ -484,6 +503,14 @@ class _SftRoundRunner:
         from tst.train.sft import make_fold_batches
 
         cfg = self.cfg
+        #: per-stage walls for this round, surfaced as round_*_s in the
+        #: audit rows — the same self-decomposition the pipeline report
+        #: carries (*_wall_seconds), so at-scale anchors can attribute a
+        #: slow round to train / scoring / decode / host setup without
+        #: external probing
+        walls = {"setup_s": 0.0, "train_s": 0.0, "mcq_score_s": 0.0,
+                 "numeric_decode_s": 0.0, "open_decode_s": 0.0}
+        t_setup = time.time()
         sub_idx = np.flatnonzero(alive)
         sub = self.ds.subset(sub_idx)
         fold_sub = kfold_assign(sub, self.k, cfg.data.seed + 1000 * r)
@@ -515,6 +542,7 @@ class _SftRoundRunner:
                 cfg.data.seed + r, batch_multiple=cfg.mesh.data,
                 include_mask=alive,
             )
+        walls["setup_s"] = time.time() - t_setup
         n_seeds = max(int(cfg.optim.n_seeds), 1)
         seed_probs = []
         seed_final = []  # one FINAL prob table per seed (seed-stability stat)
@@ -563,6 +591,12 @@ class _SftRoundRunner:
                 option_seqs=self.tb.option_token_seqs,
             )
 
+        def _timed(key, thunk):
+            t = time.time()
+            out = thunk()
+            walls[key] += time.time() - t
+            return out
+
         steps_per_epoch = max(batches.shape[0] // max(cfg.optim.epochs, 1), 1)
         for s_i in range(n_seeds):
             lora, opt = self.trainer.init_state(
@@ -590,42 +624,43 @@ class _SftRoundRunner:
                 if chunk.shape[0] == 0:
                     continue
                 if pack is not None:
-                    lora, opt, log = self.trainer.fit(
+                    lora, opt, log = _timed("train_s", lambda: self.trainer.fit(
                         self.params, lora, opt, ptok, pmask, chunk,
                         all_pos=ppos, all_segs=psegs, n_segs=pack.n_segs,
                         log_every=cfg.log_every,
-                    )
+                    ))
                 else:
-                    lora, opt, log = self.trainer.fit(
+                    lora, opt, log = _timed("train_s", lambda: self.trainer.fit(
                         self.params, lora, opt, self.tokens, self.loss_mask,
                         chunk, all_pos=self.answer_pos, log_every=cfg.log_every,
-                    )
+                    ))
                 if (e + 1) in self.score_after:
-                    seed_probs.append(mcq_score(lora))
-            final_p = mcq_score(lora)
+                    seed_probs.append(_timed("mcq_score_s",
+                                             lambda: mcq_score(lora)))
+            final_p = _timed("mcq_score_s", lambda: mcq_score(lora))
             seed_probs.append(final_p)
             seed_final.append(final_p)
             if has_numeric:
                 from tst.train.infer import score_heldout_numeric
 
-                _, s_num_i = score_heldout_numeric(
+                _, s_num_i = _timed("numeric_decode_s", lambda: score_heldout_numeric(
                     self.params, lora, self.spec, self.lspec, self.tokens,
                     self.answer_pos, np.where(alive, gold_values, np.nan),
                     fold_global, self.k, tokenizer=self.tokenizer,
                     use_pallas=self._on_tpu, pad_to=self.pad_numeric,
                     draft=self.draft, gamma=cfg.perf.spec_gamma,
-                )
+                ))
                 seed_s_num.append(s_num_i)
             if has_open:
                 from tst.train.infer import score_heldout_open
 
-                _, s_open_i = score_heldout_open(
+                _, s_open_i = _timed("open_decode_s", lambda: score_heldout_open(
                     self.params, lora, self.spec, self.lspec, self.tokens,
                     self.answer_pos, gold_texts, fold_global, self.k,
                     tokenizer=self.tokenizer, use_pallas=self._on_tpu,
                     pad_to=self.pad_open,
                     draft=self.draft, gamma=cfg.perf.spec_gamma,
-                )
+                ))
                 seed_s_open.append(s_open_i)
         probs = np.mean(seed_probs, axis=0) if len(seed_probs) > 1 else seed_probs[0]
         probs_sub = probs[sub_idx]
@@ -666,6 +701,7 @@ class _SftRoundRunner:
             "blind_accuracy": blind_acc,
             "chance": chance,
             "has_mcq": bool((gold_sub >= 0).any()),
+            "walls": {k2: round(v, 2) for k2, v in walls.items() if v},
         }
         if seed_s_num:
             s_num = _nanmean_rows(seed_s_num)

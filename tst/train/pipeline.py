@@ -233,7 +233,8 @@ def _pack_train_data(tb: TokenBatch, fold_id: np.ndarray, cfg: RunConfig):
     return pack_fold_datasets(tb, fold_id, cfg.data.k, pack_len)
 
 
-def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
+def run_warmup(ds: BlindDataset, cfg: RunConfig,
+               ibp: bool = False) -> Dict[str, Any]:
     """AOT-compile every program a ``diagnose-sft`` run of this config would
     execute — train step, held-out MCQ scorer, numeric/open decode — WITHOUT
     running them (`tst warmup`; VERDICT r2 weak #3: cold compiles through
@@ -245,6 +246,16 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     dataset+config), then ``.lower(...).compile()``d so the persistent
     compilation cache (aux.ckpt.enable_compilation_cache) is populated; the
     subsequent timed run hits the disk cache instead of compiling.
+
+    ``ibp=True`` (`tst warmup --ibp`) warms the ``debias-ibp`` round
+    programs instead: the loop pins its shapes at round 0
+    (`tst.debias.ibp.round0_sizing` — pad_m-padded scorer grid,
+    pad_numeric/pad_open-bounded decode chunks, and a total_steps0 LR
+    constant that is an upper bound over rounds, not the diagnose step
+    count), so the diagnose-shaped programs never match and round 0 pays
+    the compile wall anyway (measured: 171 s at n=300 AFTER a plain
+    warmup). One warmed round-0 program set covers every later round by
+    the same pinning invariant.
     """
     from tst.train.infer import (_make_decode_fn, decode_chunk_rows,
                                  heldout_index_grid, make_mcq_scorer,
@@ -256,15 +267,37 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
     tb, spec, lspec, on_tpu = st.tb, st.spec, st.lspec, st.on_tpu
 
     report: Dict[str, Any] = {"model": spec.name, "k": k,
-                              "seq_len": tb.seq_len, "n_samples": len(ds)}
+                              "seq_len": tb.seq_len, "n_samples": len(ds),
+                              "target": "debias-ibp" if ibp else
+                                        "diagnose-sft"}
+    sizing = None
+    trainer = st.trainer
+    if ibp:
+        from tst.debias.ibp import round0_sizing
+        from tst.train.sft import FoldTrainer
+
+        sizing = round0_sizing(ds, cfg, k)
+        if sizing["total_steps0"] != st.batches.shape[0]:
+            # the IBP trainer bakes the across-rounds total_steps0 bound
+            # into its LR schedule — a different constant is a different
+            # program, so lower THAT one, not the diagnose trainer's
+            trainer = FoldTrainer(
+                spec, lspec, k, lr=cfg.optim.lr,
+                total_steps=sizing["total_steps0"],
+                warmup_frac=cfg.optim.warmup_frac,
+                weight_decay=cfg.optim.weight_decay, use_pallas=on_tpu,
+                remat=cfg.model.remat, mesh=st.mesh, t_max=st.t_max,
+                ring=cfg.mesh.seq > 1, b1=cfg.optim.b1, b2=cfg.optim.b2,
+                fused_mlp=cfg.model.fused_mlp, packed=st.pack is not None,
+            )
     t0 = time.time()
     if st.pack is not None:
-        st.trainer._step_fn.lower(
+        trainer._step_fn.lower(
             st.params, st.lora, st.opt_state, st.ptokens, st.pmask,
             st.ppos, st.psegs, jnp.asarray(st.batches[0]),
         ).compile()
     else:
-        st.trainer._step_fn.lower(
+        trainer._step_fn.lower(
             st.params, st.lora, st.opt_state, st.tokens, st.loss_mask,
             st.answer_pos, jnp.asarray(st.batches[0]),
         ).compile()
@@ -274,9 +307,12 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
         # the run scores MCQ rows only (numeric/open rows are decode-scored),
         # so warm the same masked grid — and the same packed/unpacked variant
         mcq_fold = np.where(tb.gold >= 0, st.fold_id, -1)
+        # the IBP loop scores through a pad_m-pinned grid (constant shape
+        # across shrinking rounds); warm that shape, not the tight one
+        pad_m = sizing["pad_m"] if ibp else None
         t0 = time.time()
         if tb.option_token_seqs is not None and tb.option_token_seqs.shape[-1] > 1:
-            idx, _ = heldout_index_grid(mcq_fold, k)
+            idx, _ = heldout_index_grid(mcq_fold, k, pad_to=pad_m)
             scorer = make_mcq_scorer_multitoken(spec, lspec, on_tpu, batch=8)
             scorer.lower(st.params, st.lora, st.tokens, st.answer_pos,
                          jnp.asarray(tb.option_token_seqs),
@@ -293,7 +329,7 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
                          jnp.asarray(ppos), jnp.asarray(psegs),
                          jnp.asarray(tb.option_token_ids)).compile()
         else:
-            idx, _ = heldout_index_grid(mcq_fold, k)
+            idx, _ = heldout_index_grid(mcq_fold, k, pad_to=pad_m)
             scorer = make_mcq_scorer(spec, lspec, on_tpu, 32)
             scorer.lower(st.params, st.lora, st.tokens, st.answer_pos,
                          jnp.asarray(tb.option_token_ids),
@@ -308,6 +344,10 @@ def run_warmup(ds: BlindDataset, cfg: RunConfig) -> Dict[str, Any]:
             continue
         m = max(max((int((st.fold_id[rows] == f).sum()) for f in range(k)),
                     default=1), 1)
+        if ibp:
+            # the loop bounds these grids by the round-0 stratified-split
+            # pin (pad_numeric/pad_open), not the tight per-fold max
+            m = sizing[f"pad_{kind}"] or m
         # the real run decodes fixed-shape [k, min(m, chunk)] programs
         # (tst.train.infer._decode_heldout_rows) — warm THAT grid, not the
         # unchunked [k, m] one the run never executes
