@@ -43,6 +43,7 @@ class TestGreedyDecode:
         want = _naive_greedy(params, jnp.asarray(tokens), prompt_len, 6, spec)
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_with_lora(self):
         spec = spec_by_name("tiny", dtype=jnp.float32)
         lspec = LoraSpec(rank=4, dtype=jnp.float32)

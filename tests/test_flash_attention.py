@@ -155,6 +155,7 @@ class TestFoldedGQA:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, err_msg=f"d{name}")
 
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_long_seq_stays_tiled(self):
         """groups*S over the cap must fall back to the tiled schedule."""
         s = fa.FOLD_MAX_ROWS  # groups=2 → 2*s > cap

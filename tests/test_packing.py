@@ -272,6 +272,7 @@ def _packed_vs_flat_setup():
 
 
 class TestPackedLossParity:
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_full_loss_equal(self):
         spec, params, lspec, lora, tb, pb = _packed_vs_flat_setup()
         flat = sft_loss(params, lora, jnp.asarray(tb.tokens),
@@ -312,6 +313,7 @@ class TestPackedLossParity:
 
 
 class TestPackedTrainer:
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_packed_training_learns(self):
         spec = spec_by_name("tiny", dtype=jnp.float32)
         params = init_params(jax.random.key(0), spec)

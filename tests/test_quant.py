@@ -119,6 +119,7 @@ class TestInt4:
         assert q4["embed"]["scale"].ndim == q4["embed"]["q"].ndim
         assert q4["embed"]["q"].shape[0] == spec.vocab_size
 
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_int4_forward_matches_fake_quant(self):
         """The int4 model forward must equal a forward over the explicitly
         dequantized tree — tests the in-graph grouped-dequant wiring exactly,
@@ -161,6 +162,7 @@ class TestInt4:
         assert pspecs["layers"]["wq"]["q"] == P(None, "data", "tensor")
         assert pspecs["layers"]["wq"]["scale"] == P(None, None, None, "tensor")
 
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_lora_training_on_int4_base(self):
         from tst.train.sft import sft_loss_window
 

@@ -92,6 +92,7 @@ class TestLossAndTraining:
         l3 = sft_loss(params, None, tokens, jnp.zeros_like(mask), spec, lspec)
         assert float(l3) == 0.0
 
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_windowed_loss_equals_full(self):
         """The answer-window loss must be numerically identical to the
         full-sequence loss (loss_mask is zero outside the window)."""

@@ -35,6 +35,7 @@ def tiny():
 
 
 class TestExactness:
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_self_draft_bit_equal_and_round_count(self, tiny):
         # draft == target: every round accepts all gamma proposals, so the
         # committed stream is exact AND rounds hit the ideal
@@ -108,6 +109,7 @@ class TestExactness:
             draft, dspec, params, spec, tokens, plen, 8, gamma=4)
         np.testing.assert_array_equal(np.asarray(got), want)
 
+    @pytest.mark.slow  # ~7-9 s on the 1-core host
     def test_lora_on_target(self, tiny):
         # held-out decode serves fold-tuned targets; the verify forward must
         # carry the LoRA delta (the draft stays base)
