@@ -104,6 +104,13 @@ def _ibp_leg(tag, args, out_dir, expect_fail=False):
         "n_debiased": rep.get("n_debiased"),
         "resumed_from_round": rep.get("resumed_from_round"),
         "round_walls_s": [a.get("round_wall_s") for a in rep["per_round"]],
+        # per-stage decomposition (round 5): train / scoring / decode walls
+        # per round, so a weather-hit round is attributable from the audit
+        "round_train_s": [a.get("round_train_s") for a in rep["per_round"]],
+        "round_mcq_score_s": [a.get("round_mcq_score_s")
+                              for a in rep["per_round"]],
+        "round_numeric_decode_s": [a.get("round_numeric_decode_s")
+                                   for a in rep["per_round"]],
         "blind_acc_trajectory": [a["blind_accuracy"] for a in rep["per_round"]],
         "numeric_mra_trajectory": [a.get("numeric_mra")
                                    for a in rep["per_round"]],
