@@ -178,6 +178,10 @@ class TestDiagnosticSemantics:
         np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
         # a fully position-biased benchmark must give highly seed-stable s(x)
         assert rep["sx_seed_spearman"] > 0.5, rep["sx_seed_spearman"]
+        # prune-set stability: top-q sets across seeds (the IBP product);
+        # bounded and present for both reported quantiles
+        tj = rep["sx_seed_top_jaccard"]
+        assert set(tj) == {"0.1", "0.2"} and all(0 <= v <= 1 for v in tj.values()), tj
 
     def test_mixed_numeric_pipeline(self):
         """MCQ + numeric benchmark exercises the greedy-decode scoring leg."""

@@ -499,6 +499,7 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
     # (BASELINE.json: "s(x) Spearman"); low values mean more epochs/seeds are
     # needed before the ranking is trustworthy.
     sx_seed_spearman = None
+    sx_seed_top_jaccard = None
     if len(seed_final_probs) > 1:
         from tst.eval.parity import spearman
 
@@ -511,6 +512,26 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
             for i in range(len(per_seed_sx)) for j in range(i + 1, len(per_seed_sx))
         ]
         sx_seed_spearman = float(np.nanmean(rhos))
+        # prune-set stability: the product of the s(x) ranking is its top
+        # tail (IBP removes the top prune_rate slice), so report the mean
+        # pairwise Jaccard of each pair of seeds' top-q sets — rank noise
+        # among near-tied clean rows does not move this number, shortcut
+        # rows swapping in/out of the prune set does.
+        mcq_rows = np.flatnonzero(tb.gold >= 0)  # per-seed tables are
+        # MCQ-only at this point (numeric/open s(x) merges in below)
+
+        def _top_jaccard(q):
+            m = max(int(round(q * len(mcq_rows))), 1)
+            tops = [set(mcq_rows[np.argsort(-sx_i[mcq_rows],
+                                            kind="stable")[:m]])
+                    for sx_i in per_seed_sx]
+            js = [len(tops[i] & tops[j]) / len(tops[i] | tops[j])
+                  for i in range(len(tops)) for j in range(i + 1, len(tops))]
+            return float(np.mean(js))
+
+        if len(mcq_rows):
+            sx_seed_top_jaccard = {"0.1": round(_top_jaccard(0.1), 4),
+                                   "0.2": round(_top_jaccard(0.2), 4)}
     s_x = bias_scores(probs, tb.gold, tb.n_options, rule=cfg.rf.score_rule)
     pred = probs.argmax(-1).astype(np.int32)
     is_mcq = tb.gold >= 0
@@ -566,8 +587,12 @@ def run_sft_diagnostic(ds: BlindDataset, cfg: RunConfig,
 
     report = metrics.blind_report(blind_acc, chance, name=ds.name)
     report["per_category_blind_accuracy"] = per_category
-    if sx_seed_spearman is not None:
+    if sx_seed_spearman is not None and np.isfinite(sx_seed_spearman):
+        # (finite guard: an all-numeric set has no MCQ s(x) to rank — the
+        # spearman degenerates to NaN, which is not valid strict JSON)
         report["sx_seed_spearman"] = round(sx_seed_spearman, 4)
+    if sx_seed_top_jaccard is not None:
+        report["sx_seed_top_jaccard"] = sx_seed_top_jaccard
 
     # RF-vs-SFT cross-diagnostic agreement (the self-measured analogue of the
     # BASELINE.json "s(x) Spearman" parity metric): the fast interpretable
